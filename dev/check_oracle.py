@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's DuckDB-oracle correctness gate.
+
+Dev-only harness (uses driver-side duckdb/pandas — NOT a dependency of the
+Scala library): runs each oracle SQL from <outDir>/oracle_sql.json against
+the sfDir parquet tables in DuckDB and compares with the Spark parquet dump
+written by graft.Verify. Columns are sorted by name before comparison, like
+the driver; rows are compared both in emitted order and sorted.
+
+Usage: python3 dev/check_oracle.py <sfDir> <verifyOutDir>
+"""
+import sys, os, json
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        spark_df = con.execute(
+            f"SELECT * FROM read_parquet('{d}/*.parquet')").df()
+        if name not in oracle:
+            print(f"[rows-only] {name}: {len(spark_df)} rows")
+            continue
+        try:
+            duck_df = con.execute(oracle[name]).df()
+        except Exception as e:
+            print(f"[FAIL-sql ] {name}: {e}")
+            n_fail += 1
+            continue
+        s = spark_df[sorted(spark_df.columns)]
+        o = duck_df[sorted(duck_df.columns)]
+        ok_cols = list(s.columns) == list(o.columns)
+        ok_shape = s.shape == o.shape
+        ok_vals = False
+        ok_sorted = False
+        if ok_cols and ok_shape:
+            try:
+                pd.testing.assert_frame_equal(
+                    s.reset_index(drop=True), o.reset_index(drop=True),
+                    check_dtype=False, check_exact=True)
+                ok_vals = True
+            except AssertionError:
+                pass
+            try:
+                ss = s.sort_values(by=list(s.columns)).reset_index(drop=True)
+                oo = o.sort_values(by=list(o.columns)).reset_index(drop=True)
+                pd.testing.assert_frame_equal(ss, oo, check_dtype=False,
+                                              check_exact=True)
+                ok_sorted = True
+            except Exception:
+                pass
+        if ok_vals:
+            print(f"[PASS     ] {name}: {s.shape}")
+            n_pass += 1
+        else:
+            print(f"[FAIL     ] {name}: cols={ok_cols} shape={ok_shape} "
+                  f"spark={s.shape} duck={o.shape} sorted_match={ok_sorted}")
+            if ok_cols and ok_shape:
+                neq = (s.values != o.values)
+                import numpy as np
+                rows, cols = np.where(neq)
+                for r, c in list(zip(rows, cols))[:5]:
+                    print(f"    row {r} col {s.columns[c]}: "
+                          f"spark={s.iloc[r, c]!r} duck={o.iloc[r, c]!r}")
+            elif ok_cols:
+                print(f"    spark cols={list(s.columns)}")
+            else:
+                print(f"    spark cols={list(s.columns)}\n    duck  cols={list(o.columns)}")
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

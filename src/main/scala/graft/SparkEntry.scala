@@ -1,13 +1,41 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.engine.{AnalyticsQueries, Medallion, MedallionQueries, Tables}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` / `oracleSql` are assembled from per-area registries; each
+  * query is a deterministic DataFrame whose DuckDB oracle (same column
+  * names, same ORDER BY, same value types/rounding) the driver
+  * hash-compares at sf0.01.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's semantic heart: silver casts → gold fact build
+    * (join + status gate + datediff) → order-grain-then-global KPI rollup
+    * (reference `dashboard/queries.py:15-35`).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val d = "/root/testdata/sf0.001"
+    graft.engine.Analytics.kpis(
+      Medallion.factSales(
+        Medallion.silverOrders(Tables.orders(spark, d)),
+        Medallion.silverLineitem(Tables.lineitem(spark, d))),
+      Medallion.dimCustomer(
+        Tables.customer(spark, d), Tables.nation(spark, d), Tables.region(spark, d)))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    MedallionQueries.queries ++
+      AnalyticsQueries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    MedallionQueries.oracles ++
+      AnalyticsQueries.oracles
 }

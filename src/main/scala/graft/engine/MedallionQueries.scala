@@ -1,0 +1,124 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-contract registry for the medallion layer: each entry is a
+  * deterministic (ordered) DataFrame with an exactly-equivalent DuckDB
+  * oracle SQL (same column names, same ordering, same types).
+  *
+  * Conventions for hash-stable oracle parity:
+  *  - every computed integral column is cast to BIGINT on both sides;
+  *  - every computed double AGGREGATE is rounded to 2 decimals on both
+  *    sides (raw passthrough doubles and IEEE-deterministic products are
+  *    left untouched — both engines read the same parquet bits);
+  *  - every result carries a total ORDER BY over a unique key.
+  */
+object MedallionQueries {
+  import Tables._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S3 parquet scan + P1 projection + P2 cast + P4 null filter (+ domain
+    // gate, reference silver.py:8-11,29-44)
+    "m01_silver_orders" -> ((s, d) =>
+      Medallion.silverOrders(orders(s, d)).orderBy("o_orderkey")),
+
+    // P1/P3/P4/P7: casts to double, null-key filter, price>=0
+    "m02_silver_lineitem" -> ((s, d) =>
+      Medallion.silverLineitem(lineitem(s, d))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // J2-shape dim build: customer ⋈ broadcast(nation) ⋈ broadcast(region)
+    "m03_dim_customer" -> ((s, d) =>
+      Medallion.dimCustomer(customer(s, d), nation(s, d), region(s, d))
+        .orderBy("c_custkey")),
+
+    // P1 projection dim
+    "m04_dim_part" -> ((s, d) =>
+      Medallion.dimPart(part(s, d)).orderBy("p_partkey")),
+
+    // A8 DISTINCT + F2 EXTRACT day/month/year/quarter + F3 DAYNAME
+    "m05_dim_date" -> ((s, d) =>
+      Medallion.dimDate(orders(s, d)).orderBy("order_date")),
+
+    // J1 inner equi-join + P5 status gate + F4 datediff measure
+    "m06_fact_sales" -> ((s, d) =>
+      Medallion.factSales(
+        Medallion.silverOrders(orders(s, d)),
+        Medallion.silverLineitem(lineitem(s, d)))
+        .orderBy("order_id", "line_id"))
+  )
+
+  /** Shared DuckDB CTE for the gold fact — inlined into oracles below and
+    * in [[AnalyticsQueries]].
+    */
+  val factSql: String =
+    """SELECT l.l_orderkey AS order_id, l.l_linenumber AS line_id,
+      |       o.o_custkey AS customer_id, l.l_partkey AS product_id,
+      |       l.l_extendedprice AS price,
+      |       l.l_extendedprice * l.l_tax AS freight_value,
+      |       CAST(o.o_orderdate AS TIMESTAMP) AS order_purchase_timestamp,
+      |       CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+      |                      CAST(l.l_shipdate AS DATE)) AS BIGINT) AS delivery_time_days
+      |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |WHERE o.o_orderstatus = 'F'
+      |  AND o.o_orderkey IS NOT NULL AND o.o_custkey IS NOT NULL
+      |  AND l.l_orderkey IS NOT NULL AND l.l_partkey IS NOT NULL
+      |  AND l.l_extendedprice >= 0""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "m01_silver_orders" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |       CAST(o_custkey AS BIGINT) AS o_custkey,
+        |       o_orderstatus,
+        |       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+        |       CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+        |       o_orderpriority
+        |FROM orders
+        |WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+        |  AND o_orderstatus IN ('F','P','O')
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "m02_silver_lineitem" ->
+      """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+        |       CAST(l_linenumber AS INTEGER) AS l_linenumber,
+        |       CAST(l_partkey AS BIGINT) AS l_partkey,
+        |       CAST(l_suppkey AS BIGINT) AS l_suppkey,
+        |       CAST(l_quantity AS DOUBLE) AS l_quantity,
+        |       CAST(l_extendedprice AS DOUBLE) AS l_extendedprice,
+        |       CAST(l_discount AS DOUBLE) AS l_discount,
+        |       CAST(l_tax AS DOUBLE) AS l_tax,
+        |       l_returnflag,
+        |       CAST(l_shipdate AS TIMESTAMP) AS l_shipdate
+        |FROM lineitem
+        |WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+        |  AND l_extendedprice >= 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "m03_dim_customer" ->
+      """SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+        |       n.n_name AS customer_state, r.r_name AS customer_region
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |ORDER BY c.c_custkey""".stripMargin,
+
+    "m04_dim_part" ->
+      """SELECT p_partkey, p_name, p_brand AS category, p_type
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "m05_dim_date" ->
+      """SELECT order_date,
+        |       CAST(EXTRACT(day FROM order_date) AS BIGINT) AS day,
+        |       CAST(EXTRACT(month FROM order_date) AS BIGINT) AS month,
+        |       CAST(EXTRACT(year FROM order_date) AS BIGINT) AS year,
+        |       CAST(EXTRACT(quarter FROM order_date) AS BIGINT) AS quarter,
+        |       dayname(order_date) AS day_of_week
+        |FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS order_date FROM orders)
+        |ORDER BY order_date""".stripMargin,
+
+    "m06_fact_sales" ->
+      s"""WITH fact AS ($factSql)
+         |SELECT * FROM fact ORDER BY order_id, line_id""".stripMargin
+  )
+}

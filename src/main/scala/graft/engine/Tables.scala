@@ -1,0 +1,32 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loaders over a scale-factor directory of the driver
+  * testdata (see TESTDATA.md). Mirrors the reference's bronze scans
+  * (reference `etl/tasks/bronze.py:26-31`, `scripts/bronze_incremental.py:69`)
+  * but parquet-native: Spark's vectorized parquet reader gives columnar IO,
+  * predicate pushdown, and column pruning for free as long as callers keep
+  * the plan declarative (select/filter before any wide op).
+  *
+  * At 100 TB these would be partitioned table roots (e.g. orders
+  * partitioned by month, as the reference's landing zone is —
+  * `scripts/esplosione_dati.py:135-154`); `spark.read.parquet(dir)`
+  * handles a directory of files identically, and partition pruning
+  * applies when a partition column filter is present.
+  */
+object Tables {
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}
