@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.engine.{AnalyticsQueries, Medallion, MedallionQueries, Tables}
+import graft.engine.{AnalyticsQueries, Medallion, MedallionQueries, OperatorQueries, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -30,12 +30,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     MedallionQueries.queries ++
-      AnalyticsQueries.queries
+      AnalyticsQueries.queries ++
+      OperatorQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     MedallionQueries.oracles ++
-      AnalyticsQueries.oracles
+      AnalyticsQueries.oracles ++
+      OperatorQueries.oracles
 }

@@ -1,0 +1,311 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver-contract registry for the remaining SURVEY §2 operator
+  * inventory: joins beyond the fact build (anti/semi — §2.3 J5-J7),
+  * aggregation shapes (A2 conditional, A8 distinct, A9 having), sorts
+  * (O1 top-k), scalar functions (F7 concat/lpad, F8 replace, F9 md5,
+  * P8 LIKE), set ops, window functions, pivot/rollup, the events table
+  * (windowed agg, JSON-ish extraction, sessionization), and the
+  * text-to-SQL surface (§2.12). Hash-stability conventions as in
+  * [[MedallionQueries]].
+  */
+object OperatorQueries {
+  import Tables._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // J5 anti-join: orders with no lineitem — the incremental path's
+    // NOT EXISTS (reference scripts/bronze_incremental.py:275-284)
+    "o01_anti_join" -> ((s, d) =>
+      orders(s, d).select("o_orderkey", "o_orderstatus")
+        .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .orderBy("o_orderkey")),
+
+    // J7 semi-join: customers with ≥1 finished order (reference
+    // scripts/bronze_incremental.py:302-307 items-of-new-orders shape)
+    "o02_semi_join" -> ((s, d) =>
+      customer(s, d).select("c_custkey", "c_name")
+        .join(orders(s, d).filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .orderBy("c_custkey")),
+
+    // A9 GROUP BY + HAVING duplicate probe (reference test.py:6-13),
+    // pointed at document texts (feeds the dedup suite)
+    "o03_dup_probe" -> ((s, d) =>
+      documents(s, d)
+        .groupBy(md5(col("text")).as("text_md5"))
+        .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keep_id"))
+        .filter(col("cnt") > 1)
+        .orderBy("text_md5")),
+
+    // A2 conditional aggregation — the DQC null/negative counters
+    // (reference scripts/bronze_incremental.py:68-106) as a per-flag report
+    "o04_dqc_counters" -> ((s, d) =>
+      lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("rows"),
+          sum(when(col("l_partkey").isNull, 1).otherwise(0)).cast("long").as("null_partkeys"),
+          sum(when(col("l_extendedprice") < 0, 1).otherwise(0)).cast("long").as("neg_prices"),
+          sum(when(col("l_discount") > 0.05, 1).otherwise(0)).cast("long").as("high_discounts"))
+        .orderBy("l_returnflag")),
+
+    // P8 LIKE predicate (reference scripts/normalize_tech_log.py:9)
+    "o05_like_filter" -> ((s, d) =>
+      orders(s, d).filter(col("o_orderpriority").like("1-%"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("cnt"))
+        .orderBy("o_orderpriority")),
+
+    // F7 concat + LPAD month key (reference test_gold.py:29)
+    "o06_concat_lpad" -> ((s, d) =>
+      orders(s, d)
+        .groupBy(concat(
+          year(col("o_orderdate")).cast("string"), lit("-"),
+          lpad(month(col("o_orderdate")).cast("string"), 2, "0")).as("period"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("period")),
+
+    // F8 string repair via regexp_replace (reference
+    // scripts/normalize_tech_log.py:8; anchored pattern so Spark's
+    // replace-all == DuckDB's replace-first)
+    "o07_regexp_replace" -> ((s, d) =>
+      orders(s, d)
+        .select(regexp_replace(col("o_orderpriority"), "^[0-9]-", "").as("priority"))
+        .distinct()
+        .orderBy("priority")),
+
+    // F9 MD5 content fingerprint (reference scripts/esplosione_dati.py:50-103)
+    "o08_md5_fingerprint" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")),
+
+    // A8 SELECT DISTINCT (reference etl/tasks/gold.py:39-46)
+    "o09_distinct" -> ((s, d) =>
+      orders(s, d).select(col("o_orderpriority")).distinct()
+        .orderBy("o_orderpriority")),
+
+    // O1 top-k: ORDER BY ... DESC LIMIT k → TakeOrderedAndProject
+    // (reference dashboard/queries.py:50-51)
+    "o10_topk" -> ((s, d) =>
+      orders(s, d).select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)),
+
+    // set ops (beyond reference §2.7): UNION / INTERSECT / EXCEPT
+    "o11_set_union" -> ((s, d) => {
+      val o = orders(s, d)
+      o.filter(col("o_orderstatus") === "P").select("o_orderpriority")
+        .union(o.filter(col("o_orderstatus") === "O").select("o_orderpriority"))
+        .distinct().orderBy("o_orderpriority")
+    }),
+    "o12_set_intersect" -> ((s, d) => {
+      val c = customer(s, d)
+      c.filter(col("c_nationkey") === 0).select("c_mktsegment")
+        .intersect(c.filter(col("c_nationkey") === 1).select("c_mktsegment"))
+        .orderBy("c_mktsegment")
+    }),
+    "o13_set_except" -> ((s, d) => {
+      val c = customer(s, d)
+      c.select("c_mktsegment")
+        .except(c.filter(col("c_nationkey") === 0).select("c_mktsegment"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // window function: top order per customer (ranking idiom — SURVEY §2.5)
+    "o14_rank_per_customer" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders(s, d).select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+        .orderBy("o_custkey")
+    }),
+
+    // pivot (conditional-agg cross-tab): qty by returnflag × linestatus
+    "o15_pivot" -> ((s, d) =>
+      lineitem(s, d).groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum(col("l_quantity")), 2))
+        .orderBy("l_returnflag")),
+
+    // rollup with subtotal rows (keys coalesced to 'ALL' for determinism)
+    "o16_rollup" -> ((s, d) =>
+      lineitem(s, d).rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("cnt"), col("qty"))
+        .orderBy("returnflag", "linestatus")),
+
+    // events: tumbling-window (hourly) aggregation
+    "o17_events_hourly" -> ((s, d) =>
+      events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+        .orderBy("hour")),
+
+    // events: JSON-ish extraction from props (regexp — portable to the oracle)
+    "o18_events_json" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_type"),
+          regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), round(avg(col("k")), 2).as("avg_k"))
+        .orderBy("event_type")),
+
+    // events: sessionization (30-min inactivity gap) via lag window —
+    // exact µs arithmetic on both engines
+    "o19_events_sessions" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1)
+            .otherwise(0))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_sess")).cast("long").as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // §2.12 text-to-SQL surface: sanitize an LLM-shaped response and run
+    // it through spark.sql over the gold temp views (GROUP BY ordinal = A10)
+    "o20_sql_surface" -> ((s, d) => {
+      Sql.registerGold(s, d)
+      val llmResponse =
+        """```sql
+          |WITH t AS (SELECT date_format(order_purchase_timestamp, 'yyyy-MM') AS period,
+          |                  price
+          |           FROM fact_sales)
+          |SELECT period, round(sum(price), 2) AS revenue
+          |FROM t GROUP BY 1 ORDER BY 1;
+          |```""".stripMargin
+      Sql.runSelect(s, llmResponse).get
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "o01_anti_join" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "o02_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "o03_dup_probe" ->
+      """SELECT md5(text) AS text_md5, COUNT(*) AS cnt,
+        |       CAST(MIN(doc_id) AS BIGINT) AS keep_id
+        |FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+        |ORDER BY text_md5""".stripMargin,
+
+    "o04_dqc_counters" ->
+      """SELECT l_returnflag, COUNT(*) AS rows,
+        |       CAST(SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_partkeys,
+        |       CAST(SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_prices,
+        |       CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS high_discounts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "o05_like_filter" ->
+      """SELECT o_orderpriority, COUNT(*) AS cnt FROM orders
+        |WHERE o_orderpriority LIKE '1-%'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "o06_concat_lpad" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) || '-' ||
+        |       lpad(CAST(EXTRACT(month FROM o_orderdate) AS VARCHAR), 2, '0') AS period,
+        |       COUNT(*) AS cnt
+        |FROM orders GROUP BY 1 ORDER BY period""".stripMargin,
+
+    "o07_regexp_replace" ->
+      """SELECT DISTINCT regexp_replace(o_orderpriority, '^[0-9]-', '') AS priority
+        |FROM orders ORDER BY priority""".stripMargin,
+
+    "o08_md5_fingerprint" ->
+      """SELECT doc_id, md5(text) AS text_md5 FROM documents ORDER BY doc_id""".stripMargin,
+
+    "o09_distinct" ->
+      """SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority""".stripMargin,
+
+    "o10_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "o11_set_union" ->
+      """SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'P'
+        |UNION
+        |SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "o12_set_intersect" ->
+      """SELECT c_mktsegment FROM customer WHERE c_nationkey = 0
+        |INTERSECT
+        |SELECT c_mktsegment FROM customer WHERE c_nationkey = 1
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "o13_set_except" ->
+      """SELECT c_mktsegment FROM customer
+        |EXCEPT
+        |SELECT c_mktsegment FROM customer WHERE c_nationkey = 0
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "o14_rank_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "o15_pivot" ->
+      """SELECT l_returnflag,
+        |       ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F,
+        |       ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "o16_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |       COUNT(*) AS cnt, ROUND(SUM(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "o17_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n_events,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
+
+    "o18_events_json" ->
+      """SELECT event_type, COUNT(*) AS cnt,
+        |       ROUND(AVG(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)), 2) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "o19_events_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events)
+        |SELECT user_id,
+        |       CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |       COUNT(*) AS n_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "o20_sql_surface" ->
+      """WITH fact AS (
+        |  SELECT CAST(o.o_orderdate AS TIMESTAMP) AS order_purchase_timestamp,
+        |         l.l_extendedprice AS price
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  WHERE o.o_orderstatus = 'F'),
+        |t AS (SELECT strftime(order_purchase_timestamp, '%Y-%m') AS period, price FROM fact)
+        |SELECT period, ROUND(SUM(price), 2) AS revenue
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,53 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The reference's text-to-SQL execution surface (reference
+  * `dashboard/ai_utils.py:49-66`, `dashboard/app_fase1.py:275`): arbitrary
+  * SELECT/WITH SQL over the gold star schema, read-only.
+  *
+  * Spark SQL provides the parser/planner wholesale; gold tables are
+  * registered as temp views (inherently read-only — there is no DML path
+  * to a temp view), so the "read-only connection" property of the
+  * reference (`dashboard/queries.py:5`) holds by construction.
+  */
+object Sql {
+
+  /** Register the gold star schema as temp views over a testdata sfDir. */
+  def registerGold(spark: SparkSession, sfDir: String): Unit = {
+    import Tables._
+    val so = Medallion.silverOrders(orders(spark, sfDir))
+    val sl = Medallion.silverLineitem(lineitem(spark, sfDir))
+    Medallion.factSales(so, sl).createOrReplaceTempView("fact_sales")
+    Medallion.dimCustomer(customer(spark, sfDir), nation(spark, sfDir), region(spark, sfDir))
+      .createOrReplaceTempView("dim_customers")
+    Medallion.dimPart(part(spark, sfDir)).createOrReplaceTempView("dim_products")
+    Medallion.dimDate(orders(spark, sfDir)).createOrReplaceTempView("dim_time")
+  }
+
+  /** Sanitize LLM-generated SQL exactly like the reference
+    * (`dashboard/ai_utils.py:49-66`): strip markdown fences, trim to the
+    * first WITH/SELECT, drop a trailing semicolon. Returns None when no
+    * SELECT/WITH is present (the reference raises).
+    */
+  def sanitize(raw: String): Option[String] = {
+    var s = raw.trim
+    if (s.startsWith("```")) {
+      s = s.stripPrefix("```sql").stripPrefix("```SQL").stripPrefix("```")
+      val fence = s.indexOf("```")
+      if (fence >= 0) s = s.substring(0, fence)
+      s = s.trim
+    }
+    val up = s.toUpperCase
+    val start = Seq(up.indexOf("WITH"), up.indexOf("SELECT"))
+      .filter(_ >= 0).sorted.headOption
+    start.map { i =>
+      val q = s.substring(i).trim
+      if (q.endsWith(";")) q.dropRight(1).trim else q
+    }
+  }
+
+  /** Execute a (sanitized) SELECT over the registered gold views. */
+  def runSelect(spark: SparkSession, raw: String): Option[DataFrame] =
+    sanitize(raw).map(spark.sql)
+}
