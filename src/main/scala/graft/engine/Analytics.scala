@@ -33,12 +33,18 @@ object Analytics {
     if (states.isEmpty) df
     else df.filter(col("customer_state").isin(states: _*))
 
-  /** fact ⋈ broadcast(dim_customer), the shape every dashboard query
-    * starts from (reference `dashboard/queries.py:23-24` etc.).
+  /** fact ⋈ dim_customer, the shape every dashboard query starts from
+    * (reference `dashboard/queries.py:23-24` etc.). No broadcast hint:
+    * the customer dim is unbounded-cardinality (billions of rows at
+    * 100 TB), so the strategy is left to AQE — which still picks a
+    * broadcast join while the dim is small, and falls back to a shuffle
+    * join (pre-bucket both sides on the customer key in a real deployment)
+    * when it is not. Only truly bounded dims (nation/region in
+    * [[Medallion.dimCustomer]]) carry an explicit broadcast hint.
     */
   def factWithState(fact: DataFrame, dimCustomer: DataFrame): DataFrame =
     fact.join(
-      broadcast(dimCustomer.select("c_custkey", "customer_state")),
+      dimCustomer.select("c_custkey", "customer_state"),
       fact("customer_id") === col("c_custkey"))
 
   /** KPI rollup — reference `dashboard/queries.py:15-35`.

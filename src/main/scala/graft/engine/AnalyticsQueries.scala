@@ -9,13 +9,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object AnalyticsQueries {
   import Tables._
 
-  private def fact(s: SparkSession, d: String): DataFrame =
-    Medallion.factSales(
-      Medallion.silverOrders(orders(s, d)),
-      Medallion.silverLineitem(lineitem(s, d)))
+  // All dashboard queries read the MATERIALIZED gold layer (written once
+  // per run by Gold.ensure) — the reference queries its persisted star
+  // schema, it never rebuilds the fact per query.
+  private def fact(s: SparkSession, d: String): DataFrame = Gold.fact(s, d)
 
-  private def dimC(s: SparkSession, d: String): DataFrame =
-    Medallion.dimCustomer(customer(s, d), nation(s, d), region(s, d))
+  private def dimC(s: SparkSession, d: String): DataFrame = Gold.dimCustomer(s, d)
 
   /** The reference dashboard's example state filter
     * (`dashboard/app_fase1.py:133-136`), as a fixed IN-list so the
@@ -28,7 +27,7 @@ object AnalyticsQueries {
     "a01_kpis" -> ((s, d) => Analytics.kpis(fact(s, d), dimC(s, d))),
     // A3 grouped SUM + O1 top-k + J3 fact⋈dim_products (queries.py:40-52)
     "a02_top_categories" -> ((s, d) =>
-      Analytics.topCategories(fact(s, d), Medallion.dimPart(part(s, d)), dimC(s, d))),
+      Analytics.topCategories(fact(s, d), Gold.dimPart(s, d), dimC(s, d))),
     // A6 COUNT(DISTINCT) + J2 (queries.py:57-67)
     "a03_orders_by_state" -> ((s, d) => Analytics.ordersByState(fact(s, d), dimC(s, d))),
     // A7/A4/A5 order-grain avg delivery (queries.py:74-92)

@@ -1,0 +1,83 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Materialized medallion layers (the reference's CTAS persistence —
+  * `etl/tasks/silver.py:29-62`, `etl/tasks/gold.py:12-65` — SURVEY §2.1
+  * S5/S6): silver + gold are written to parquet ONCE per (JVM, sfDir) and
+  * every analytics/SQL query reads the written layer back instead of
+  * re-deriving it from base scans.
+  *
+  * Scale posture: this is the single biggest 100 TB lever in the repo —
+  * the orders⋈lineitem fact shuffle happens once per pipeline run, not
+  * once per query. The fact is partitioned by `order_month`
+  * (reference landing zone `scripts/esplosione_dati.py:135-154`), so any
+  * query filtering on month gets partition pruning; `repartition` by the
+  * partition column before the write keeps one file per month instead of
+  * (tasks × months) small files.
+  */
+object Gold {
+
+  private val materialized = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Layer root for a source sfDir — inside the build dir, never the
+    * (read-only) testdata.
+    */
+  private def layerRoot(sfDir: String): String = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]+", "_").dropWhile(_ == '_')
+    new java.io.File(s"target/graft-layers/$key").getAbsolutePath
+  }
+
+  /** Write silver + gold parquet for sfDir if this JVM hasn't yet; returns
+    * the layer root. Thread-safe; runs at most once per (JVM, sfDir).
+    */
+  def ensure(spark: SparkSession, sfDir: String): String =
+    materialized.computeIfAbsent(sfDir, _ => {
+      val dir = layerRoot(sfDir)
+      val so = Medallion.silverOrders(Tables.orders(spark, sfDir))
+      val sl = Medallion.silverLineitem(Tables.lineitem(spark, sfDir))
+      so.write.mode("overwrite").parquet(s"$dir/silver_orders")
+      sl.write.mode("overwrite").parquet(s"$dir/silver_lineitem")
+      val fact = Medallion.factSales(so, sl)
+        .withColumn("order_month",
+          date_format(col("order_purchase_timestamp"), "yyyy-MM"))
+      fact
+        .repartition(col("order_month"))
+        .write.mode("overwrite").partitionBy("order_month")
+        .parquet(s"$dir/fact_sales")
+      Medallion.dimCustomer(
+          Tables.customer(spark, sfDir), Tables.nation(spark, sfDir),
+          Tables.region(spark, sfDir))
+        .write.mode("overwrite").parquet(s"$dir/dim_customers")
+      Medallion.dimPart(Tables.part(spark, sfDir))
+        .write.mode("overwrite").parquet(s"$dir/dim_products")
+      Medallion.dimDate(Tables.orders(spark, sfDir))
+        .write.mode("overwrite").parquet(s"$dir/dim_time")
+      dir
+    })
+
+  def silverOrders(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"${ensure(spark, sfDir)}/silver_orders")
+
+  def silverLineitem(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"${ensure(spark, sfDir)}/silver_lineitem")
+
+  /** Gold fact in the canonical column order of [[Medallion.factSales]]
+    * (the `order_month` partition column stays available for pruning but
+    * is projected away here so downstream schemas are unchanged).
+    */
+  def fact(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"${ensure(spark, sfDir)}/fact_sales")
+      .select("order_id", "line_id", "customer_id", "product_id", "price",
+        "freight_value", "order_purchase_timestamp", "delivery_time_days")
+
+  def dimCustomer(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"${ensure(spark, sfDir)}/dim_customers")
+
+  def dimPart(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"${ensure(spark, sfDir)}/dim_products")
+
+  def dimDate(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"${ensure(spark, sfDir)}/dim_time")
+}

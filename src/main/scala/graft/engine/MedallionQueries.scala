@@ -19,13 +19,15 @@ object MedallionQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S3 parquet scan + P1 projection + P2 cast + P4 null filter (+ domain
-    // gate, reference silver.py:8-11,29-44)
+    // gate, reference silver.py:8-11,29-44). Reads the MATERIALIZED silver
+    // parquet (S5/S6 sink + re-scan), so the oracle check covers the full
+    // write→read round trip, not just the transform.
     "m01_silver_orders" -> ((s, d) =>
-      Medallion.silverOrders(orders(s, d)).orderBy("o_orderkey")),
+      Gold.silverOrders(s, d).orderBy("o_orderkey")),
 
     // P1/P3/P4/P7: casts to double, null-key filter, price>=0
     "m02_silver_lineitem" -> ((s, d) =>
-      Medallion.silverLineitem(lineitem(s, d))
+      Gold.silverLineitem(s, d)
         .orderBy("l_orderkey", "l_linenumber")),
 
     // J2-shape dim build: customer ⋈ broadcast(nation) ⋈ broadcast(region)
@@ -41,12 +43,10 @@ object MedallionQueries {
     "m05_dim_date" -> ((s, d) =>
       Medallion.dimDate(orders(s, d)).orderBy("order_date")),
 
-    // J1 inner equi-join + P5 status gate + F4 datediff measure
+    // J1 inner equi-join + P5 status gate + F4 datediff measure — read
+    // back from the month-partitioned gold sink (S5 partitionBy + S6)
     "m06_fact_sales" -> ((s, d) =>
-      Medallion.factSales(
-        Medallion.silverOrders(orders(s, d)),
-        Medallion.silverLineitem(lineitem(s, d)))
-        .orderBy("order_id", "line_id"))
+      Gold.fact(s, d).orderBy("order_id", "line_id"))
   )
 
   /** Shared DuckDB CTE for the gold fact — inlined into oracles below and

@@ -13,16 +13,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Sql {
 
-  /** Register the gold star schema as temp views over a testdata sfDir. */
+  /** Register the gold star schema as temp views over the MATERIALIZED
+    * layer (Gold.ensure) — each view is a parquet scan of the written
+    * star schema, so repeated SQL statements re-read gold, they don't
+    * re-derive it from base tables.
+    */
   def registerGold(spark: SparkSession, sfDir: String): Unit = {
-    import Tables._
-    val so = Medallion.silverOrders(orders(spark, sfDir))
-    val sl = Medallion.silverLineitem(lineitem(spark, sfDir))
-    Medallion.factSales(so, sl).createOrReplaceTempView("fact_sales")
-    Medallion.dimCustomer(customer(spark, sfDir), nation(spark, sfDir), region(spark, sfDir))
-      .createOrReplaceTempView("dim_customers")
-    Medallion.dimPart(part(spark, sfDir)).createOrReplaceTempView("dim_products")
-    Medallion.dimDate(orders(spark, sfDir)).createOrReplaceTempView("dim_time")
+    Gold.fact(spark, sfDir).createOrReplaceTempView("fact_sales")
+    Gold.dimCustomer(spark, sfDir).createOrReplaceTempView("dim_customers")
+    Gold.dimPart(spark, sfDir).createOrReplaceTempView("dim_products")
+    Gold.dimDate(spark, sfDir).createOrReplaceTempView("dim_time")
   }
 
   /** Sanitize LLM-generated SQL exactly like the reference
