@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.engine.{AnalyticsQueries, Medallion, MedallionQueries, OperatorQueries, Tables}
+import graft.engine.{AnalyticsQueries, DedupQueries, Medallion, MedallionQueries,
+  OperatorQueries, SimilarityQueries, Tables, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -31,7 +32,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     MedallionQueries.queries ++
       AnalyticsQueries.queries ++
-      OperatorQueries.queries
+      OperatorQueries.queries ++
+      DedupQueries.queries ++
+      TextQueries.queries ++
+      SimilarityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -39,5 +43,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     MedallionQueries.oracles ++
       AnalyticsQueries.oracles ++
-      OperatorQueries.oracles
+      OperatorQueries.oracles ++
+      DedupQueries.oracles ++
+      TextQueries.oracles ++
+      SimilarityQueries.oracles
 }

@@ -1,0 +1,91 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-contract registry for the dedup suite (the brief's
+  * training-data-pipeline operators): SimHash hamming-band near-dup,
+  * MinHash-LSH + exact-Jaccard near-dup, and winnowing-style document
+  * fingerprints. Every query is hash-checked against a DuckDB oracle that
+  * recomputes the same portable hashes in pure SQL (see
+  * [[graft.functions.PortableHash]] / [[TextOps]] for the parity
+  * contracts).
+  */
+object DedupQueries {
+  import Tables._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SimHash near-dup: codegen'd portable-SimHash kernel → 4×16-bit band
+    // bucket join → bit_count(xor) ≤ 3. Complete recall by pigeonhole.
+    "o21_simhash_neardup" -> ((s, d) =>
+      Dedup.simhashNearDup(documents(s, d), t = 3).orderBy("a", "b")),
+
+    // MinHash(32) → 16-band LSH candidates → EXACT 3-shingle Jaccard ≥ 0.8
+    "o22_minhash_lsh_jaccard" -> ((s, d) =>
+      Dedup.minhashLshJaccard(documents(s, d), threshold = 0.8).orderBy("a", "b")),
+
+    // bottom-4 portable shingle-hash fingerprint per doc (winnowing-style
+    // content fingerprint — reference `scripts/esplosione_dati.py:50-103`
+    // made content-local and distributable)
+    "o27_doc_fingerprint" -> ((s, d) =>
+      documents(s, d).select(
+        col("doc_id"),
+        array_join(
+          slice(array_sort(array_distinct(
+            transform(TextOps.shingles(TextOps.tokens(col("text"))), TextOps.hash32(_)))), 1, 4),
+          "-").as("fingerprint"))
+        .orderBy("doc_id"))
+  )
+
+  // Shared oracle CTEs: tokenization and 3-shingling in DuckDB SQL with
+  // exact parity to TextOps (see its per-function oracle notes).
+  private val toksCte =
+    """toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS t
+      |  FROM documents)""".stripMargin
+
+  private val shinglesCte =
+    s"""$toksCte,
+       |sh AS (
+       |  SELECT doc_id, CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+       |         ELSE [array_to_string(list_slice(t, i, i+2), ' ') FOR i IN range(1, len(t)-1)]
+       |         END AS s
+       |  FROM toks)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "o21_simhash_neardup" ->
+      s"""WITH $toksCte,
+         |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+         |th AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 17, 16)) AS UBIGINT) AS h FROM tok),
+         |bitv AS (
+         |  SELECT doc_id, b, SUM(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM th, (SELECT unnest(range(64)) AS b) bs GROUP BY doc_id, b),
+         |simh AS (
+         |  SELECT doc_id,
+         |         CAST(SUM(CASE WHEN v > 0 THEN (1::UBIGINT << b) ELSE 0::UBIGINT END) AS UBIGINT) AS s
+         |  FROM bitv GROUP BY doc_id)
+         |SELECT a.doc_id AS a, b.doc_id AS b,
+         |       CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+         |FROM simh a JOIN simh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.s, b.s)) <= 3
+         |ORDER BY a, b""".stripMargin,
+
+    "o22_minhash_lsh_jaccard" ->
+      s"""WITH $shinglesCte,
+         |ss AS (SELECT doc_id, list_distinct(s) AS s FROM sh)
+         |SELECT a.doc_id AS a, b.doc_id AS b,
+         |       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |       CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+         |FROM ss a JOIN ss b ON a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |      CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.8
+         |ORDER BY a, b""".stripMargin,
+
+    "o27_doc_fingerprint" ->
+      s"""WITH $shinglesCte
+         |SELECT doc_id,
+         |       array_to_string(list_slice(list_sort(list_distinct(
+         |         [CAST(('0x' || substr(md5(x), 25, 8)) AS BIGINT) FOR x IN s])), 1, 4), '-') AS fingerprint
+         |FROM sh ORDER BY doc_id""".stripMargin
+  )
+}

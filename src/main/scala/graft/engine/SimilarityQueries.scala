@@ -1,0 +1,64 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-contract registry for similarity search over `embeddings` and
+  * the multimodal plumbing. o23 (exact kNN) is hash-checked against
+  * DuckDB `list_cosine_similarity`; the ANN and multimodal entries are
+  * approximate / stub-decoded, so they are registered WITHOUT oracle SQL
+  * (driver records the weaker rows-only check) and verified structurally
+  * in the test suite instead.
+  */
+object SimilarityQueries {
+  import Tables._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact brute-force top-5 cosine for 10 query vectors: broadcast the
+    // query side, one narrow pass over the corpus
+    "o23_knn_cosine" -> ((s, d) =>
+      Similarity.knnCosine(embeddings(s, d), nQueries = 10, k = 5)
+        .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))),
+
+    // IVF ANN scale path: label = coarse cluster, probe 2 nearest
+    // centroids, exact cosine within probed clusters (rows-only check;
+    // recall vs o23 asserted in SimilaritySpec)
+    "x01_ann_ivf" -> ((s, d) =>
+      Similarity.ivfTopK(embeddings(s, d), nQueries = 10, k = 5, nprobe = 2)
+        .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))),
+
+    // multimodal: binary media column + typed metadata → partition-local
+    // stub decode → per-source feature aggregate (rows-only check; the
+    // byte-level featurizer is asserted in MultimodalSpec)
+    "x02_multimodal_features" -> ((s, d) => {
+      val media = Multimodal.asMediaTable(documents(s, d))
+      Multimodal.featurize(media)
+        .join(media.select(col("media_id"), col("source")), "media_id")
+        .select(col("source"), col("n_bytes"),
+          element_at(col("features"), 1).as("byte_mean"),
+          element_at(col("features"), 2).as("byte_std"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_media"),
+          round(avg(col("byte_mean")), 4).as("avg_byte_mean"),
+          round(avg(col("byte_std")), 4).as("avg_byte_std"))
+        .orderBy("source")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "o23_knn_cosine" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |         list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS cos
+        |  FROM q, embeddings e WHERE e.vec_id != q.query_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY cos DESC, neighbor_id) AS rn
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, cos FROM ranked WHERE rn <= 5
+        |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin
+  )
+}

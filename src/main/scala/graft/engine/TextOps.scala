@@ -1,0 +1,49 @@
+package graft.engine
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared Column builders for the text-analysis / dedup suite. All are
+  * composed from codegen'd built-ins and keep exact parity with the
+  * DuckDB oracle SQL (noted per function), so every query built on them
+  * is hash-checkable.
+  */
+object TextOps {
+
+  /** Whitespace tokens, empty-free.
+    * Oracle: `list_filter(string_split_regex(trim(text),'\s+'), t -> t != '')`.
+    */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= "")
+
+  /** w-token shingles as strings; a doc with ≤ w tokens is one shingle
+    * (mirrors [[graft.functions.TextHash.shingles]]).
+    * Oracle: `CASE WHEN len(t) <= w THEN [array_to_string(t,' ')]
+    * ELSE [array_to_string(list_slice(t,i,i+w-1),' ') FOR i IN range(1, len(t)-w+2)] END`.
+    */
+  def shingles(toks: Column, w: Int = 3): Column =
+    when(size(toks) <= w, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (w - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(w)))))
+
+  /** Distinct shingle set (string identity — exact, no hash collisions). */
+  def shingleSet(text: Column, w: Int = 3): Column =
+    array_distinct(shingles(tokens(text), w))
+
+  /** Portable 32-bit hash of a string column: last 8 hex chars of md5 as
+    * an unsigned int in a long.
+    * Oracle: `CAST('0x' || substr(md5(x), 25, 8) AS BIGINT)`.
+    */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c), 25, 8), 16, 10).cast("long")
+
+  /** Exact Jaccard similarity of two pre-distinct string arrays, as the
+    * double `|A∩B| / (|A|+|B|-|A∩B|)` — the operand order the oracle
+    * uses, so the division is bit-identical.
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
+  }
+}

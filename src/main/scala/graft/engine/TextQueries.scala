@@ -1,0 +1,116 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-contract registry for text analysis over `documents`: corpus
+  * stats, per-doc quality scoring, top terms, and a language-ID
+  * heuristic — the brief's training-data text operators, all built from
+  * codegen'd built-ins with exact DuckDB-oracle parity.
+  */
+object TextQueries {
+  import Tables._
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+  private val stopSqlList = stopwords.map(w => s"'$w'").mkString("(", ",", ")")
+
+  private def toks = TextOps.tokens(col("text"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // corpus stats per source: doc/token/char counts (token counting =
+    // whitespace tokenizer; see o25 for the regex/BPE-ish variant)
+    "o24_text_stats" -> ((s, d) =>
+      documents(s, d)
+        .select(col("source"), size(toks).as("n_tokens"), length(col("text")).as("n_chars"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"),
+          round(avg(col("n_tokens")), 2).as("avg_tokens"),
+          round(avg(col("n_chars")), 2).as("avg_chars"))
+        .orderBy("source")),
+
+    // per-doc quality score: token count, a BPE-ish regex token count
+    // (word pieces + punctuation as separate tokens), stopword ratio,
+    // punctuation count, and a rule-based quality label
+    "o25_quality_score" -> ((s, d) => {
+      val stopRatio = size(filter(toks, t => t.isin(stopwords: _*))).cast("double") /
+        size(toks).cast("double")
+      documents(s, d).select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+          .as("n_bpeish"),
+        size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0))).as("n_punct"),
+        round(stopRatio, 4).as("stopword_ratio"),
+        when(size(toks) >= 50 && stopRatio.between(0.02, 0.3), "good")
+          .when(size(toks) >= 20, "fair")
+          .otherwise("poor").as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // top-20 terms by frequency (explode → groupBy → top-k)
+    "o26_top_terms" -> ((s, d) =>
+      documents(s, d)
+        .select(explode(toks).as("term"))
+        .groupBy("term")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term"))
+        .limit(20)),
+
+    // n-gram/stopword language-ID heuristic vs the labeled lang column
+    "o28_lang_id" -> ((s, d) => {
+      val enRatio = size(filter(toks, t => t.isin(stopwords: _*))).cast("double") /
+        size(toks).cast("double")
+      documents(s, d)
+        .select(col("lang"), when(enRatio >= 0.05, "en").otherwise("und").as("guess"))
+        .groupBy("lang", "guess")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "guess")
+    })
+  )
+
+  private val toksCte =
+    """toks AS (
+      |  SELECT *, list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS t
+      |  FROM documents)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "o24_text_stats" ->
+      s"""WITH $toksCte
+         |SELECT source, COUNT(*) AS n_docs,
+         |       CAST(SUM(len(t)) AS BIGINT) AS total_tokens,
+         |       ROUND(AVG(len(t)), 2) AS avg_tokens,
+         |       ROUND(AVG(length(text)), 2) AS avg_chars
+         |FROM toks GROUP BY source ORDER BY source""".stripMargin,
+
+    "o25_quality_score" ->
+      s"""WITH $toksCte,
+         |q AS (
+         |  SELECT doc_id, len(t) AS n_tokens,
+         |         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpeish,
+         |         len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+         |         CAST(len(list_filter(t, x -> x IN $stopSqlList)) AS DOUBLE) /
+         |         CAST(len(t) AS DOUBLE) AS sr
+         |  FROM toks)
+         |SELECT doc_id, n_tokens, n_bpeish, n_punct, ROUND(sr, 4) AS stopword_ratio,
+         |       CASE WHEN n_tokens >= 50 AND sr BETWEEN 0.02 AND 0.3 THEN 'good'
+         |            WHEN n_tokens >= 20 THEN 'fair' ELSE 'poor' END AS quality
+         |FROM q ORDER BY doc_id""".stripMargin,
+
+    "o26_top_terms" ->
+      s"""WITH $toksCte
+         |SELECT term, COUNT(*) AS cnt
+         |FROM (SELECT unnest(t) AS term FROM toks)
+         |GROUP BY term ORDER BY cnt DESC, term LIMIT 20""".stripMargin,
+
+    "o28_lang_id" ->
+      s"""WITH $toksCte
+         |SELECT lang,
+         |       CASE WHEN CAST(len(list_filter(t, x -> x IN $stopSqlList)) AS DOUBLE) /
+         |                 CAST(len(t) AS DOUBLE) >= 0.05
+         |            THEN 'en' ELSE 'und' END AS guess,
+         |       COUNT(*) AS n_docs
+         |FROM toks GROUP BY 1, 2 ORDER BY lang, guess""".stripMargin
+  )
+}
