@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.engine.{AnalyticsQueries, DedupQueries, Medallion, MedallionQueries,
-  OperatorQueries, SimilarityQueries, Tables, TextQueries}
+  OperatorQueries, PipelineQueries, SimilarityQueries, Tables, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -35,7 +35,8 @@ object SparkEntry {
       OperatorQueries.queries ++
       DedupQueries.queries ++
       TextQueries.queries ++
-      SimilarityQueries.queries
+      SimilarityQueries.queries ++
+      PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -46,5 +47,6 @@ object SparkEntry {
       OperatorQueries.oracles ++
       DedupQueries.oracles ++
       TextQueries.oracles ++
-      SimilarityQueries.oracles
+      SimilarityQueries.oracles ++
+      PipelineQueries.oracles
 }

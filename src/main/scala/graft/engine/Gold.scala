@@ -35,8 +35,13 @@ object Gold {
   def ensure(spark: SparkSession, sfDir: String): String =
     materialized.computeIfAbsent(sfDir, _ => {
       val dir = layerRoot(sfDir)
-      val so = Medallion.silverOrders(Tables.orders(spark, sfDir))
-      val sl = Medallion.silverLineitem(Tables.lineitem(spark, sfDir))
+      // fail-fast quality gate between bronze and silver (§2.11): one
+      // aggregation pass per table; a violation aborts the whole
+      // materialization before anything is written
+      val so = Quality.gate(
+        Medallion.silverOrders(Tables.orders(spark, sfDir)), Quality.orderChecks)
+      val sl = Quality.gate(
+        Medallion.silverLineitem(Tables.lineitem(spark, sfDir)), Quality.lineitemChecks)
       so.write.mode("overwrite").parquet(s"$dir/silver_orders")
       sl.write.mode("overwrite").parquet(s"$dir/silver_lineitem")
       val fact = Medallion.factSales(so, sl)

@@ -1,0 +1,143 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.util.Try
+
+/** The Phase-2 incremental bronze pipeline (SURVEY §2.10; reference
+  * `scripts/bronze_incremental.py`):
+  *
+  *  - ordered file processing (`:245` sorted month files)
+  *  - fingerprint offset tracking: a file whose manifest fingerprint
+  *    matches its OK tech-log entry is SKIPped unread (`:125-133,266-268`)
+  *  - fail-fast DQC gate per file before any write (`:68-106`)
+  *  - exactly-once appends: `left_anti` on the natural key for orders
+  *    (J5, `:275-289`), items loaded ONLY for new orders (semi-join J7,
+  *    `:302-307`) then composite-key anti-join (J6, `:308-318`)
+  *  - changed dims ⇒ full REPLACE (`:199-219`)
+  *  - queryable tech log with upsert semantics (S9, `:144-155`) and the
+  *    SQL-UPDATE note repair (S11, `scripts/normalize_tech_log.py:4-11`)
+  *
+  * Scale posture: every data move is a distributed anti/semi-join shuffle
+  * on the natural key + a parquet append; the only driver-side state is
+  * the manifest and tech log — metadata bounded by FILE count, not row
+  * count. The log rewrite is batched once per run (the reference rewrites
+  * per file — per-file is O(files²) writes; crash recovery at scale comes
+  * from re-running, which the fingerprint skip makes idempotent).
+  */
+object Incremental {
+
+  final case class LogEntry(file_name: String, fingerprint: String,
+                            status: String, rows_orders: Long,
+                            rows_items: Long, note: String)
+
+  private def techLogPath(bronzeRoot: String) = s"$bronzeRoot/tech/processed_files"
+
+  def readTechLog(spark: SparkSession, bronzeRoot: String): Seq[LogEntry] = {
+    import spark.implicits._
+    Try(spark.read.parquet(techLogPath(bronzeRoot)).as[LogEntry].collect().toSeq)
+      .getOrElse(Nil)
+  }
+
+  /** Upsert-by-rewrite of the (tiny, file-count-bounded) tech log — the
+    * parquet stand-in for the reference's `ON CONFLICT DO UPDATE`.
+    */
+  def writeTechLog(spark: SparkSession, bronzeRoot: String,
+                   entries: Seq[LogEntry]): Unit = {
+    import spark.implicits._
+    entries.sortBy(_.file_name).toDF().coalesce(1)
+      .write.mode("overwrite").parquet(techLogPath(bronzeRoot))
+  }
+
+  /** S11: repair SKIP notes exactly like
+    * `scripts/normalize_tech_log.py:4-11` — read → conditional update →
+    * overwrite.
+    */
+  def normalizeTechLog(spark: SparkSession, bronzeRoot: String): Unit = {
+    val repaired = readTechLog(spark, bronzeRoot).map { e =>
+      if (e.note.startsWith("SKIP: ") && e.rows_orders == 0L)
+        e.copy(note = e.note.stripPrefix("SKIP: "))
+      else e
+    }
+    writeTechLog(spark, bronzeRoot, repaired)
+  }
+
+  private def readIfExists(spark: SparkSession, path: String): Option[DataFrame] =
+    if (new java.io.File(path).exists()) Some(spark.read.parquet(path)) else None
+
+  /** One incremental run over a landing zone. Returns this run's log
+    * entries (the full upserted log is persisted at `bronzeRoot/tech`).
+    */
+  def run(spark: SparkSession, landingRoot: String, bronzeRoot: String): Seq[LogEntry] = {
+    val manifest = Landing.readManifest(spark, landingRoot)
+    val prior = readTechLog(spark, bronzeRoot).map(e => e.file_name -> e).toMap
+    val ordersDir = s"$bronzeRoot/orders"
+    val itemsDir = s"$bronzeRoot/lineitem"
+
+    def processed(f: Landing.LandingFile): Boolean =
+      prior.get(f.file).exists(e => e.status == "OK" && e.fingerprint == f.fingerprint)
+
+    val orderEntries = manifest.filter(_.file.startsWith("orders_")).sortBy(_.file).map { f =>
+      if (processed(f))
+        LogEntry(f.file, f.fingerprint, "SKIP", 0L, 0L, "SKIP: unchanged")
+      else {
+        val period = f.file.stripPrefix("orders_")
+        val incoming = spark.read.parquet(s"$landingRoot/orders/period=$period")
+        Quality.gate(incoming, Seq(Quality.NonEmpty,
+          Quality.NotNull("o_orderkey"), Quality.NotNull("o_custkey")))
+
+        // Stage new rows BEFORE appending: appending to a path refreshes
+        // every cached/derived plan that reads it, so computing `newIds`
+        // from an un-staged anti-join AFTER the append would re-evaluate
+        // against the already-appended keys and find nothing. Staging is
+        // also the crash-safe pattern at scale (append is a rename-in).
+        val stage = s"$bronzeRoot/_stage/${f.file}"
+        (readIfExists(spark, ordersDir) match {
+          case Some(existing) =>
+            incoming.join(existing.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+          case None => incoming
+        }).write.mode("overwrite").parquet(s"$stage/orders")
+        val newOrders = spark.read.parquet(s"$stage/orders")
+        val nOrders = newOrders.count()
+
+        // items of NEW orders only (semi-join J7) then composite-key
+        // anti-join (J6) — staged the same way
+        val newIds = newOrders.select("o_orderkey").distinct()
+        val candidateItems = spark.read.parquet(s"$landingRoot/lineitem")
+          .join(newIds, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        (readIfExists(spark, itemsDir) match {
+          case Some(existing) =>
+            candidateItems.join(existing.select("l_orderkey", "l_linenumber"),
+              Seq("l_orderkey", "l_linenumber"), "left_anti")
+          case None => candidateItems
+        }).write.mode("overwrite").parquet(s"$stage/lineitem")
+        val newItems = spark.read.parquet(s"$stage/lineitem")
+        val nItems = newItems.count()
+        if (nItems > 0)
+          Quality.gate(newItems, Seq(Quality.NotNull("l_orderkey"),
+            Quality.NotNull("l_partkey"), Quality.NonNegative("l_extendedprice")))
+
+        newOrders.write.mode("append").parquet(ordersDir)
+        if (nItems > 0) newItems.write.mode("append").parquet(itemsDir)
+        LogEntry(f.file, f.fingerprint, "OK", nOrders, nItems, s"OK: inserted $nOrders")
+      }
+    }
+
+    val dimEntries = manifest.filter(_.file.endsWith("_full")).sortBy(_.file).map { f =>
+      if (processed(f))
+        LogEntry(f.file, f.fingerprint, "SKIP", 0L, 0L, "SKIP: unchanged")
+      else {
+        val name = f.file.stripSuffix("_full")
+        val df = spark.read.parquet(s"$landingRoot/$name")
+        val n = df.count()
+        df.write.mode("overwrite").parquet(s"$bronzeRoot/$name") // full REPLACE
+        LogEntry(f.file, f.fingerprint, "OK", n, 0L, s"OK: replaced $n")
+      }
+    }
+
+    val thisRun = orderEntries ++ dimEntries
+    val merged = (prior ++ thisRun.map(e => e.file_name -> e).toMap).values.toSeq
+    writeTechLog(spark, bronzeRoot, merged)
+    thisRun
+  }
+}

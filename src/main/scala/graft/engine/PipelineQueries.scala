@@ -1,0 +1,144 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-contract registry for the Phase-2 incremental pipeline, CSV
+  * ingestion, and catalog surface. The incremental demo executes the REAL
+  * pipeline (landing explode → two incremental runs → tech-log repair)
+  * once per JVM into `target/graft-incremental/`, and the queries check
+  * its observable state against oracles computed from the base tables:
+  * run 1 inserts everything exactly once, run 2 is a fingerprint-skip
+  * no-op (idempotence — reference `README_FASE2.md:188-196`).
+  */
+object PipelineQueries {
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  private val demoDone = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Run the full incremental demo once per (JVM, sfDir); returns its
+    * root directory. run1/run2 reports are persisted as parquet so every
+    * registry query is a plain deterministic read.
+    */
+  def ensureDemo(spark: SparkSession, sfDir: String): String =
+    demoDone.computeIfAbsent(sfDir, _ => {
+      val key = sfDir.replaceAll("[^A-Za-z0-9.]+", "_").dropWhile(_ == '_')
+      val root = new java.io.File(s"target/graft-incremental/$key").getAbsolutePath
+      deleteRecursively(new java.io.File(root))
+      val landing = s"$root/landing"
+      val bronze = s"$root/bronze"
+      Landing.explode(spark, sfDir, landing, periodFmt = "yyyy")
+      val run1 = Incremental.run(spark, landing, bronze)
+      val run2 = Incremental.run(spark, landing, bronze)
+      Incremental.normalizeTechLog(spark, bronze)
+      val note2 = Incremental.readTechLog(spark, bronze)
+        .map(e => e.file_name -> e.note).toMap
+      import spark.implicits._
+      val summary = run1.map(e => (e.file_name, e.status, e.rows_orders, e.rows_items))
+        .toDF("file_name", "run1_status", "run1_orders", "run1_items")
+        .join(
+          run2.map(e => (e.file_name, e.status, e.rows_orders, e.rows_items,
+            note2(e.file_name)))
+            .toDF("file_name", "run2_status", "run2_orders", "run2_items", "run2_note"),
+          "file_name")
+      summary.coalesce(1).write.mode("overwrite").parquet(s"$root/summary")
+      root
+    })
+
+  private val csvDone = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Write orders out as CSV once per (JVM, sfDir) for the round-trip
+    * query; returns the CSV directory.
+    */
+  def ensureCsv(spark: SparkSession, sfDir: String): String =
+    csvDone.computeIfAbsent(sfDir, _ => {
+      val key = sfDir.replaceAll("[^A-Za-z0-9.]+", "_").dropWhile(_ == '_')
+      val dir = new java.io.File(s"target/graft-csv/$key/orders").getAbsolutePath
+      Sources.writeCsv(Tables.orders(spark, sfDir), dir)
+      dir
+    })
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.10 end-to-end: per-file fingerprint skip, exactly-once appends,
+    // idempotent rerun, tech-log upsert + S11 note repair
+    "p01_incremental_runs" -> ((s, d) => {
+      val root = ensureDemo(s, d)
+      s.read.parquet(s"$root/summary").orderBy("file_name")
+    }),
+
+    // post-append bronze content: every order exactly once (J5 proof)
+    "p02_incremental_bronze" -> ((s, d) => {
+      val root = ensureDemo(s, d)
+      val cols = Tables.orders(s, d).columns.map(col).toIndexedSeq
+      s.read.parquet(s"$root/bronze/orders").select(cols: _*).orderBy("o_orderkey")
+    }),
+
+    // S1/S2/P10: CSV write → explicit-schema PERMISSIVE read round trip
+    "p03_csv_roundtrip" -> ((s, d) => {
+      val csvDir = ensureCsv(s, d)
+      Sources.csv(s, csvDir, Tables.orders(s, d).schema).orderBy("o_orderkey")
+    }),
+
+    // S13/S14: DESCRIBE as a relational result
+    "p04_describe" -> ((s, d) =>
+      Catalog.describe(Tables.lineitem(s, d)).orderBy("col")),
+
+    // J6: composite-key anti-join — items with no (order_id, line_id)
+    // match in the gold fact (= items of non-delivered orders)
+    "o29_anti_join_composite" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Gold.fact(s, d).select(
+          col("order_id").as("l_orderkey"), col("line_id").as("l_linenumber")),
+          Seq("l_orderkey", "l_linenumber"), "left_anti")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag"))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "p01_incremental_runs" ->
+      """WITH ord AS (
+        |  SELECT 'orders_' || CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS file_name,
+        |         COUNT(*) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |it AS (
+        |  SELECT 'orders_' || CAST(EXTRACT(year FROM o.o_orderdate) AS VARCHAR) AS file_name,
+        |         COUNT(*) AS n_items
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey GROUP BY 1)
+        |SELECT ord.file_name, 'OK' AS run1_status, ord.n_orders AS run1_orders,
+        |       COALESCE(it.n_items, 0) AS run1_items,
+        |       'SKIP' AS run2_status, CAST(0 AS BIGINT) AS run2_orders,
+        |       CAST(0 AS BIGINT) AS run2_items, 'unchanged' AS run2_note
+        |FROM ord LEFT JOIN it USING (file_name)
+        |UNION ALL
+        |SELECT 'customer_full', 'OK', (SELECT COUNT(*) FROM customer), 0,
+        |       'SKIP', 0, 0, 'unchanged'
+        |UNION ALL
+        |SELECT 'part_full', 'OK', (SELECT COUNT(*) FROM part), 0,
+        |       'SKIP', 0, 0, 'unchanged'
+        |ORDER BY file_name""".stripMargin,
+
+    "p02_incremental_bronze" ->
+      """SELECT * FROM orders ORDER BY o_orderkey""",
+
+    "p03_csv_roundtrip" ->
+      """SELECT * FROM orders ORDER BY o_orderkey""",
+
+    "p04_describe" ->
+      """SELECT column_name AS col, column_type AS dtype
+        |FROM (DESCRIBE lineitem) ORDER BY col""".stripMargin,
+
+    "o29_anti_join_composite" ->
+      s"""WITH fact AS (${MedallionQueries.factSql})
+         |SELECT l.l_returnflag, COUNT(*) AS cnt
+         |FROM lineitem l
+         |WHERE NOT EXISTS (SELECT 1 FROM fact f
+         |                  WHERE f.order_id = l.l_orderkey
+         |                    AND f.line_id = l.l_linenumber)
+         |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin
+  )
+}
