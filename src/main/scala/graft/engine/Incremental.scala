@@ -35,7 +35,8 @@ object Incremental {
 
   def readTechLog(spark: SparkSession, bronzeRoot: String): Seq[LogEntry] = {
     import spark.implicits._
-    Try(spark.read.parquet(techLogPath(bronzeRoot)).as[LogEntry].collect().toSeq)
+    if (!new java.io.File(techLogPath(bronzeRoot)).exists()) Nil
+    else Try(spark.read.parquet(techLogPath(bronzeRoot)).as[LogEntry].collect().toSeq)
       .getOrElse(Nil)
   }
 
@@ -74,8 +75,12 @@ object Incremental {
     val ordersDir = s"$bronzeRoot/orders"
     val itemsDir = s"$bronzeRoot/lineitem"
 
+    // A file is already in bronze when its log entry (OK = ingested, or
+    // SKIP = verified-unchanged on a later run; a SKIP record must not
+    // invalidate the earlier OK) carries the current manifest fingerprint.
     def processed(f: Landing.LandingFile): Boolean =
-      prior.get(f.file).exists(e => e.status == "OK" && e.fingerprint == f.fingerprint)
+      prior.get(f.file).exists(e =>
+        (e.status == "OK" || e.status == "SKIP") && e.fingerprint == f.fingerprint)
 
     val orderEntries = manifest.filter(_.file.startsWith("orders_")).sortBy(_.file).map { f =>
       if (processed(f))

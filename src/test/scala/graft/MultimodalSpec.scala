@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.Multimodal
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("stubDecodeFeatures: deterministic byte-histogram moments") {
+    val f = Multimodal.stubDecodeFeatures(Array[Byte](0, 10, 20))
+    assert(f.length == 4)
+    assert(f(0) == 10.0) // mean
+    assert(f(2) == 0.0 && f(3) == 20.0) // min, max
+    assert(Multimodal.stubDecodeFeatures(Array.empty[Byte]).sameElements(Array(0.0, 0.0, 0.0, 0.0)))
+  }
+
+  test("featurize: partition-parallel map preserves ids and row count") {
+    val docs = Seq(
+      (1L, "hello world", "en", "srcA"),
+      (2L, "abc", "en", "srcB")
+    ).toDF("doc_id", "text", "lang", "source")
+    val media = Multimodal.asMediaTable(docs)
+    assert(media.schema("media").dataType.typeName == "binary")
+    val feats = Multimodal.featurize(media).collect()
+    assert(feats.map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(feats.forall(_.getSeq[Double](2).length == 4))
+    // n_bytes metadata survives the typed boundary
+    assert(feats.find(_.getLong(0) == 2L).get.getLong(1) == 3L)
+  }
+}
