@@ -28,7 +28,7 @@ object DedupQueries {
     // content fingerprint — reference `scripts/esplosione_dati.py:50-103`
     // made content-local and distributable)
     "o27_doc_fingerprint" -> ((s, d) =>
-      documents(s, d).select(
+      documents(s, d).repartition(s.sparkContext.defaultParallelism).select(
         col("doc_id"),
         array_join(
           slice(array_sort(array_distinct(

@@ -36,7 +36,7 @@ object TextQueries {
     "o25_quality_score" -> ((s, d) => {
       val stopRatio = size(filter(toks, t => t.isin(stopwords: _*))).cast("double") /
         size(toks).cast("double")
-      documents(s, d).select(
+      documents(s, d).repartition(s.sparkContext.defaultParallelism).select(
         col("doc_id"),
         size(toks).as("n_tokens"),
         size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
