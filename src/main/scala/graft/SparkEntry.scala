@@ -36,7 +36,8 @@ object SparkEntry {
       DedupQueries.queries ++
       TextQueries.queries ++
       SimilarityQueries.queries ++
-      PipelineQueries.queries
+      PipelineQueries.queries ++
+      graft.streaming.StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -48,5 +49,6 @@ object SparkEntry {
       DedupQueries.oracles ++
       TextQueries.oracles ++
       SimilarityQueries.oracles ++
-      PipelineQueries.oracles
+      PipelineQueries.oracles ++
+      graft.streaming.StreamingQueries.oracles
 }

@@ -1,0 +1,127 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming surface (SURVEY §2.10): the reference's
+  * incremental path is batch-with-offsets (`scripts/bronze_incremental.py`)
+  * — its streaming twin is the file source + checkpointed offsets +
+  * `Trigger.AvailableNow`, with watermarked event-time aggregation and
+  * custom session state on top.
+  *
+  * Scale posture: the file source discovers new files per micro-batch
+  * (the manifest/fingerprint role is played by the checkpoint WAL);
+  * windowed aggs shuffle once per key+window with partial aggregation;
+  * `flatMapGroupsWithState` keys state by user so state is
+  * shuffle-partitioned and spills via the state store, never on the
+  * driver.
+  */
+object Streaming {
+
+  private val staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Streaming scan of the events table (nanos timestamps read as longs
+    * and truncated to µs exactly like [[graft.engine.Tables.events]]).
+    * The file stream source wants a DIRECTORY to watch; testdata ships a
+    * single file, so it is staged (copied once per JVM) into one — in a
+    * real deployment the landing directory plays this role and new files
+    * are picked up per micro-batch.
+    */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = staged.computeIfAbsent(sfDir, _ => {
+      val key = sfDir.replaceAll("[^A-Za-z0-9.]+", "_").dropWhile(_ == '_')
+      val d = new java.io.File(s"target/graft-streaming/$key/events")
+      d.mkdirs()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+        d.toPath.resolve("events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      d.getAbsolutePath
+    })
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Watermarked hourly tumbling-window aggregation — the streaming twin
+    * of query o17 (same grouping, same measures).
+    */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("hour"), col("n_events"), col("total_value"))
+
+  /** Run a (finite) streaming frame to completion with
+    * `Trigger.AvailableNow` into a memory sink; returns the sink table.
+    * Complete mode ⇒ the sink holds the full aggregate, equal to the
+    * batch computation over the same input.
+    */
+  def runAvailableNow(df: DataFrame, name: String,
+                      mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val spark = df.sparkSession
+    val checkpoint = java.nio.file.Files
+      .createTempDirectory(s"graft-stream-$name").toString
+    val q = df.writeStream
+      .queryName(name)
+      .outputMode(mode)
+      .format("memory")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  final case class Event(user_id: Long, ts: java.sql.Timestamp)
+  final case class SessionState(start: Long, lastUs: Long, n: Int)
+  final case class ClosedSession(user_id: Long, start_us: Long, end_us: Long, n_events: Int)
+
+  /** Custom session state (SURVEY §2.10 "stateful operators"): per-user
+    * sessions closed after `gapMinutes` of event-time inactivity, emitted
+    * via `flatMapGroupsWithState`. Open sessions flush when the watermark
+    * passes their timeout (feed a max-ts sentinel to drain a finite
+    * stream deterministically — see StreamingSpec).
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (!it.hasNext && state.hasTimedOut) {
+            val out = state.getOption
+              .map(s => ClosedSession(user, s.start, s.lastUs, s.n)).iterator
+            state.remove()
+            out
+          } else {
+            val sortedUs = it.map(e => e.ts.getTime * 1000L).toArray.sorted
+            var open = state.getOption
+            var closed = List.empty[ClosedSession]
+            sortedUs.foreach { us =>
+              open match {
+                case Some(cur) if us - cur.lastUs <= gapUs =>
+                  open = Some(cur.copy(lastUs = us, n = cur.n + 1))
+                case Some(cur) =>
+                  closed ::= ClosedSession(user, cur.start, cur.lastUs, cur.n)
+                  open = Some(SessionState(us, us, 1))
+                case None =>
+                  open = Some(SessionState(us, us, 1))
+              }
+            }
+            open.foreach { cur =>
+              state.update(cur)
+              state.setTimeoutTimestamp(cur.lastUs / 1000L + gapMinutes * 60L * 1000L)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

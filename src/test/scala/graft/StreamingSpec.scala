@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+import graft.streaming.Streaming
+import graft.streaming.Streaming.{ClosedSession, Event}
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("AvailableNow windowed agg equals the batch computation") {
+    val sfDir = "/root/testdata/sf0.001"
+    val streamed = Streaming.runAvailableNow(
+      Streaming.hourlyAgg(Streaming.eventsStream(spark, sfDir)), "streaming_spec_hourly")
+      .orderBy("hour").collect()
+    val batch = graft.engine.Tables.events(spark, sfDir)
+      .groupBy(org.apache.spark.sql.functions.date_trunc("hour",
+        org.apache.spark.sql.functions.col("ts")).as("hour"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_events"),
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.sum("value"), 2).as("total_value"))
+      .orderBy("hour").collect()
+    assert(streamed.length == batch.length)
+    assert(streamed.zip(batch).forall { case (a, b) => a == b })
+  }
+
+  test("flatMapGroupsWithState sessionization closes sessions on event-time gaps") {
+    def ev(u: Long, minute: Int) =
+      Event(u, new Timestamp(3600_000L * 24 + minute * 60_000L))
+    // user 1: two sessions (gap 45 min > 30); user 2: one session.
+    // A far-future sentinel per user advances the watermark so every real
+    // session times out and flushes (finite-stream drain).
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    source.addData(
+      ev(1, 0), ev(1, 10), ev(1, 55), ev(1, 60),
+      ev(2, 5),
+      ev(1, 24 * 60), ev(2, 24 * 60))
+    val out = Streaming.runAvailableNow(
+      Streaming.sessionize(source.toDS(), gapMinutes = 30).toDF(),
+      "streaming_spec_sessions",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .as[ClosedSession].collect()
+    val byUser = out.groupBy(_.user_id)
+    assert(byUser(1L).length == 2, s"user 1 must close 2 sessions, got ${out.mkString(",")}")
+    assert(byUser(1L).map(_.n_events).sorted.toSeq == Seq(2, 2))
+    assert(byUser(2L).length == 1)
+    assert(byUser(2L).head.n_events == 1)
+  }
+}
