@@ -38,6 +38,22 @@ object Similarity {
       .filter(col("rn") <= k).drop("rn")
   }
 
+  /** Embedding-cosine near-duplicate pairs over a deterministic corpus
+    * sample (`vec_id % sampleMod == 0`): exact pairwise cosine ≥
+    * threshold. Exact all-pairs is inherently O(n²) — the sample bound
+    * keeps it a broadcast nested-loop here; at 100 TB the exact variant
+    * runs as a blocked self-join per coarse cluster (see [[ivfTopK]]'s
+    * label pruning) and the sampled variant is the audit query.
+    */
+  def cosineNearDup(emb: DataFrame, threshold: Double, sampleMod: Int = 10): DataFrame = {
+    val e = emb.filter(pmod(col("vec_id"), lit(sampleMod)) === 0)
+    val a = e.select(col("vec_id").as("a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("b"), col("embedding").as("vb"))
+    a.join(broadcast(b), col("a") < col("b"))
+      .select(col("a"), col("b"), VectorOps.cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Per-label centroids of the embedding column, computed by position
     * explode + grouped average (distributed; no vectors on the driver).
     */

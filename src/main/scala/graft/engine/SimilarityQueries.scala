@@ -20,6 +20,12 @@ object SimilarityQueries {
       Similarity.knnCosine(embeddings(s, d), nQueries = 10, k = 5)
         .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))),
 
+    // embedding-cosine near-dup: exact pairwise cosine >= 0.4 over the
+    // vec_id % 10 == 0 sample (bounded broadcast nested-loop)
+    "o30_embedding_neardup" -> ((s, d) =>
+      Similarity.cosineNearDup(embeddings(s, d), threshold = 0.4, sampleMod = 10)
+        .orderBy("a", "b")),
+
     // IVF ANN scale path: label = coarse cluster, probe 2 nearest
     // centroids, exact cosine within probed clusters (rows-only check;
     // recall vs o23 asserted in SimilaritySpec)
@@ -46,6 +52,16 @@ object SimilarityQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "o30_embedding_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 10 = 0)
+        |SELECT a.vec_id AS a, b.vec_id AS b,
+        |       list_cosine_similarity(a.v, b.v) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+        |ORDER BY a, b""".stripMargin,
+
     "o23_knn_cosine" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
