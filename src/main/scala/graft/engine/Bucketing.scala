@@ -1,0 +1,51 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed (co-located) join support — the 100 TB deployment shape for
+  * the fact ⋈ customer-dim join: both sides hash-bucketed and sorted on
+  * the join key at write time, so the join is a zero-shuffle sort-merge
+  * (no Exchange on either side; verified at the plan level in
+  * BucketingSpec).
+  *
+  * Bucketed tables live in the session catalog (saveAsTable — parquet
+  * under the warehouse dir); `spark.table(name)` reads them back with
+  * bucket metadata intact.
+  */
+object Bucketing {
+
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // a managed-table location left behind by a previous JVM (in-memory
+    // catalog, persistent warehouse dir) blocks CREATE — drop both
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(warehouse, table))
+    df.write
+      .mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Bucket-aligned fact and customer-dim tables for an sfDir; returns
+    * the (fact, dim) table names.
+    */
+  def bucketedStar(spark: SparkSession, sfDir: String,
+                   buckets: Int = 8): (String, String) = {
+    val factTable = "fact_sales_bucketed"
+    val dimTable = "dim_customers_bucketed"
+    writeBucketed(Gold.fact(spark, sfDir), factTable, "customer_id", buckets)
+    writeBucketed(
+      Gold.dimCustomer(spark, sfDir).withColumnRenamed("c_custkey", "customer_id"),
+      dimTable, "customer_id", buckets)
+    (factTable, dimTable)
+  }
+}
