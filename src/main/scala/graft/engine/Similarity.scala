@@ -21,17 +21,33 @@ import graft.functions.VectorOps
   */
 object Similarity {
 
+  /** Corpus with per-row precomputed double vector + its norm: each
+    * vector's norm is folded ONCE, not once per pair — the pair-time
+    * cosine is then `dot / (normA * normB)`, the exact operand order of
+    * [[VectorOps.cosine]] (and of DuckDB `list_cosine_similarity`), so
+    * results stay bit-identical. Also spreads a single-split corpus
+    * across the cluster (array folds are interpreted per element — the
+    * one hot loop in this module that parallelism must cover).
+    */
+  private def withNorms(emb: DataFrame): DataFrame = {
+    val p = emb.sparkSession.sparkContext.defaultParallelism
+    val spread = if (emb.rdd.getNumPartitions >= p) emb else emb.repartition(p)
+    spread.withColumn("v", VectorOps.asDouble(col("embedding")))
+      .withColumn("n", VectorOps.norm(col("v")))
+  }
+
   /** Exact top-k cosine neighbors for query vectors `vec_id < nQueries`
-    * (self excluded). Cosine is [[VectorOps.cosine]] — codegen'd
-    * fold, bit-identical to DuckDB `list_cosine_similarity` on DOUBLE.
+    * (self excluded) — bit-identical to DuckDB `list_cosine_similarity`
+    * on DOUBLE.
     */
   def knnCosine(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val q = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val scored = emb.crossJoin(broadcast(q))
+    val e = withNorms(emb)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n").as("qn"))
+    val scored = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        VectorOps.cosine(col("qv"), col("embedding")).as("cos"))
+        (VectorOps.dot(col("qv"), col("v")) / (col("qn") * col("n"))).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rn", row_number().over(w))
@@ -46,11 +62,12 @@ object Similarity {
     * label pruning) and the sampled variant is the audit query.
     */
   def cosineNearDup(emb: DataFrame, threshold: Double, sampleMod: Int = 10): DataFrame = {
-    val e = emb.filter(pmod(col("vec_id"), lit(sampleMod)) === 0)
-    val a = e.select(col("vec_id").as("a"), col("embedding").as("va"))
-    val b = e.select(col("vec_id").as("b"), col("embedding").as("vb"))
+    val e = withNorms(emb.filter(pmod(col("vec_id"), lit(sampleMod)) === 0))
+    val a = e.select(col("vec_id").as("a"), col("v").as("va"), col("n").as("na"))
+    val b = e.select(col("vec_id").as("b"), col("v").as("vb"), col("n").as("nb"))
     a.join(broadcast(b), col("a") < col("b"))
-      .select(col("a"), col("b"), VectorOps.cosine(col("va"), col("vb")).as("cos"))
+      .select(col("a"), col("b"),
+        (VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
@@ -71,22 +88,23 @@ object Similarity {
     * clusters only.
     */
   def ivfTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5, nprobe: Int = 2): DataFrame = {
-    val q = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val e = withNorms(emb)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n").as("qn"))
     val cw = Window.partitionBy(col("query_id"))
       .orderBy(col("ccos").desc, col("label"))
     val probed = q.crossJoin(broadcast(centroids(emb)))
-      .select(col("query_id"), col("qv"), col("label"),
+      .select(col("query_id"), col("qv"), col("qn"), col("label"),
         VectorOps.cosine(col("qv"), col("centroid")).as("ccos"))
       .withColumn("rn", row_number().over(cw))
       .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("qv"), col("label"))
+      .select(col("query_id"), col("qv"), col("qn"), col("label"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    emb.join(broadcast(probed), Seq("label")) // cluster-pruned scan
+    e.join(broadcast(probed), Seq("label")) // cluster-pruned scan
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        VectorOps.cosine(col("qv"), col("embedding")).as("cos"))
+        (VectorOps.dot(col("qv"), col("v")) / (col("qn") * col("n"))).as("cos"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k).drop("rn")
   }
