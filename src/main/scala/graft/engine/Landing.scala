@@ -19,12 +19,17 @@ object Landing {
   /** One landing file-group: logical name + content fingerprint + rows. */
   final case class LandingFile(file: String, fingerprint: String, rows: Long)
 
+  // null-safe key stringify (F13): a null key must hash as a stable
+  // empty token, not vanish from the fingerprint (concat_ws drops nulls)
+  private def keyStr(keyCol: String) =
+    coalesce(col(keyCol).cast("string"), lit(""))
+
   private def fingerprintAgg(keyCol: String) =
     md5(concat_ws("|",
       count(lit(1)),
-      min(col(keyCol)).cast("string"),
-      max(col(keyCol)).cast("string"),
-      sum(crc32(col(keyCol).cast("string").cast("binary"))).cast("string")))
+      coalesce(min(col(keyCol)).cast("string"), lit("")),
+      coalesce(max(col(keyCol)).cast("string"), lit("")),
+      sum(crc32(keyStr(keyCol).cast("binary"))).cast("string")))
 
   /** Split orders into period files (partitioned parquet — `period=YYYY`
     * dirs play the reference's `orders_YYYY-MM.parquet` files), dump

@@ -87,6 +87,13 @@ object PipelineQueries {
     "p04_describe" -> ((s, d) =>
       Catalog.describe(Tables.lineitem(s, d)).orderBy("col")),
 
+    // S4: glob parquet scan (reference test.py:7 read_parquet('..._*.parquet'))
+    "o31_glob_scan" -> ((s, d) =>
+      s.read.parquet(s"$d/order*.parquet")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("o_orderstatus")),
+
     // J6: composite-key anti-join — items with no (order_id, line_id)
     // match in the gold fact (= items of non-delivered orders)
     "o29_anti_join_composite" -> ((s, d) =>
@@ -131,6 +138,10 @@ object PipelineQueries {
     "p04_describe" ->
       """SELECT column_name AS col, column_type AS dtype
         |FROM (DESCRIBE lineitem) ORDER BY col""".stripMargin,
+
+    "o31_glob_scan" ->
+      """SELECT o_orderstatus, COUNT(*) AS cnt FROM orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "o29_anti_join_composite" ->
       s"""WITH fact AS (${MedallionQueries.factSql})

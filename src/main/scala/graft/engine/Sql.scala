@@ -25,23 +25,25 @@ object Sql {
     Gold.dimDate(spark, sfDir).createOrReplaceTempView("dim_time")
   }
 
-  /** Sanitize LLM-generated SQL exactly like the reference
-    * (`dashboard/ai_utils.py:49-66`): strip markdown fences, trim to the
-    * first WITH/SELECT, drop a trailing semicolon. Returns None when no
-    * SELECT/WITH is present (the reference raises).
+  /** Sanitize LLM-generated SQL (reference `dashboard/ai_utils.py:49-66`,
+    * hardened): prefer the first complete ```-fenced block containing a
+    * query, else strip orphan fence markers; trim to the first
+    * WITH/SELECT; drop a trailing semicolon. Returns None when no
+    * SELECT/WITH is present (the reference raises). Unlike the
+    * reference, prose BEFORE a fenced block ("Here's your query: ```sql
+    * ...```") and orphan trailing fences are handled.
     */
   def sanitize(raw: String): Option[String] = {
-    var s = raw.trim
-    if (s.startsWith("```")) {
-      s = s.stripPrefix("```sql").stripPrefix("```SQL").stripPrefix("```")
-      val fence = s.indexOf("```")
-      if (fence >= 0) s = s.substring(0, fence)
-      s = s.trim
+    def queryStart(s: String): Option[Int] = {
+      val up = s.toUpperCase
+      Seq(up.indexOf("WITH"), up.indexOf("SELECT")).filter(_ >= 0).sorted.headOption
     }
-    val up = s.toUpperCase
-    val start = Seq(up.indexOf("WITH"), up.indexOf("SELECT"))
-      .filter(_ >= 0).sorted.headOption
-    start.map { i =>
+    val trimmed = raw.trim
+    val fenced = "(?s)```(?:sql|SQL)?\\s*(.*?)```".r
+      .findFirstMatchIn(trimmed).map(_.group(1).trim)
+    val s = fenced.filter(queryStart(_).isDefined)
+      .getOrElse(trimmed.replaceAll("```(sql|SQL)?", " "))
+    queryStart(s).map { i =>
       val q = s.substring(i).trim
       if (q.endsWith(";")) q.dropRight(1).trim else q
     }
