@@ -19,11 +19,19 @@ object VectorOps {
   /** Cast an embedding column to array<double> (exact float32 widening). */
   def asDouble(v: Column): Column = v.cast("array<double>")
 
-  def dot(a: Column, b: Column): Column =
+  /** Sequential left-fold dot product — the native codegen'd kernel
+    * ([[DotProductExpr]]); callers must pass array<double> sides.
+    */
+  def dot(a: Column, b: Column): Column = VectorKernelFunctions.dot(a, b)
+
+  /** Higher-order-function twin of [[dot]] — kept as the executable
+    * parity spec for the kernel (same fold order ⇒ same bits; asserted
+    * in VectorOpsSpec).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
-  def normSq(a: Column): Column =
-    aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v)
+  def normSq(a: Column): Column = dot(a, a)
 
   def norm(a: Column): Column = sqrt(normSq(a))
 
@@ -39,6 +47,6 @@ object VectorOps {
   /** L2 (Euclidean) distance. */
   def l2(a: Column, b: Column): Column = {
     val d = zip_with(asDouble(a), asDouble(b), (x, y) => x - y)
-    sqrt(aggregate(transform(d, x => x * x), lit(0.0), (acc, v) => acc + v))
+    sqrt(dot(d, d))
   }
 }

@@ -30,6 +30,20 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(one(VectorOps.norm(VectorOps.asDouble(col("a")))) == 3.0)
   }
 
+  test("native dot kernel is bit-identical to the HOF fold") {
+    val vecs = (0 until 50).map { i =>
+      (Seq.tabulate(64)(j => (math.sin(i * 64 + j) * 10).toFloat),
+        Seq.tabulate(64)(j => (math.cos(i * 64 + j) * 10).toFloat))
+    }
+    val df = vecs.toDF("a", "b")
+    val both = df.select(
+      VectorOps.dot(VectorOps.asDouble(col("a")), VectorOps.asDouble(col("b"))).as("k"),
+      VectorOps.dotHof(VectorOps.asDouble(col("a")), VectorOps.asDouble(col("b"))).as("h"))
+      .collect()
+    assert(both.forall(r => r.getDouble(0) == r.getDouble(1)),
+      "kernel and HOF fold must agree to the last bit")
+  }
+
   test("l2 distance of known vectors") {
     val v = Seq((Seq(1.0f, 2.0f), Seq(4.0f, 6.0f))).toDF("a", "b")
       .select(VectorOps.l2(col("a"), col("b")).as("v")).as[Double].collect()(0)
