@@ -15,6 +15,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.stubDecodeFeatures(Array.empty[Byte]).sameElements(Array(0.0, 0.0, 0.0, 0.0)))
   }
 
+  test("sampleFrames: fixed-size frames at the given stride") {
+    val bytes = Array.tabulate(100)(_.toByte)
+    val frames = Multimodal.sampleFrames(bytes, frameSize = 10, stride = 2)
+    assert(frames.length == 5)
+    assert(frames.forall(_.length == 10))
+    assert(frames(1)(0) == 20.toByte) // second frame starts at offset frameSize*stride
+  }
+
+  test("resizeStub: fixed output length, endpoints preserved-ish") {
+    val bytes = Array.tabulate(1000)(i => (i % 251).toByte)
+    val out = Multimodal.resizeStub(bytes, 64)
+    assert(out.length == 64)
+    assert(out(0) == bytes(0))
+    assert(Multimodal.resizeStub(Array[Byte](1, 2), 64).length == 2) // no upsampling
+  }
+
   test("featurize: partition-parallel map preserves ids and row count") {
     val docs = Seq(
       (1L, "hello world", "en", "srcA"),
