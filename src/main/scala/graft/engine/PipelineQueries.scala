@@ -87,6 +87,22 @@ object PipelineQueries {
     "p04_describe" -> ((s, d) =>
       Catalog.describe(Tables.lineitem(s, d)).orderBy("col")),
 
+    // as-of join: each event matched to its user's latest order at-or-
+    // before the event time (right side deduped per key+ts for tie
+    // determinism); oracle = DuckDB's native ASOF JOIN
+    "o32_asof_join" -> ((s, d) => {
+      val ordersDedup = Tables.orders(s, d)
+        .groupBy(col("o_custkey"), col("o_orderdate").cast("timestamp").as("ots"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      AsOf.join(
+        Tables.events(s, d).select("event_id", "user_id", "ts"),
+        ordersDedup,
+        keyCols = ("user_id", "o_custkey"), tsCols = ("ts", "ots"),
+        payloadCol = "o_orderkey")
+        .select(col("event_id"), col("o_orderkey"))
+        .orderBy("event_id")
+    }),
+
     // S4: glob parquet scan (reference test.py:7 read_parquet('..._*.parquet'))
     "o31_glob_scan" -> ((s, d) =>
       s.read.parquet(s"$d/order*.parquet")
@@ -142,6 +158,16 @@ object PipelineQueries {
     "o31_glob_scan" ->
       """SELECT o_orderstatus, COUNT(*) AS cnt FROM orders
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "o32_asof_join" ->
+      """WITH o AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS ots,
+        |         MAX(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, o.o_orderkey
+        |FROM events e ASOF JOIN o
+        |  ON e.user_id = o.o_custkey AND CAST(e.ts AS TIMESTAMP) >= o.ots
+        |ORDER BY event_id""".stripMargin,
 
     "o29_anti_join_composite" ->
       s"""WITH fact AS (${MedallionQueries.factSql})
