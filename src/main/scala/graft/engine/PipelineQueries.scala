@@ -103,12 +103,39 @@ object PipelineQueries {
         .orderBy("event_id")
     }),
 
+    // range join (no equi-key): ship dates falling inside sparse 7-day
+    // order windows, binned to an equi-join on the bin id
+    "o33_range_join" -> ((s, d) => {
+      val intervals = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 1000 === 0)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_orderdate").cast("timestamp").as("w_start"),
+          (col("o_orderdate").cast("timestamp") + expr("INTERVAL 7 DAYS")).as("w_end"))
+      val points = Tables.lineitem(s, d)
+        .select(col("l_shipdate").cast("timestamp").as("ship_ts"))
+      RangeJoin.pointInInterval(points, intervals, "ship_ts", "w_start", "w_end")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("o_orderpriority")
+    }),
+
     // S4: glob parquet scan (reference test.py:7 read_parquet('..._*.parquet'))
     "o31_glob_scan" -> ((s, d) =>
       s.read.parquet(s"$d/order*.parquet")
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("cnt"))
         .orderBy("o_orderstatus")),
+
+    // KMV sketch aggregator (rows-only: approximate by design): distinct
+    // customers per priority, estimate next to the exact for inspection
+    "x03_sketch_distinct" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          countDistinct(col("o_custkey")).as("exact_customers"),
+          graft.functions.KmvSketch.approxDistinct(
+            xxhash64(col("o_custkey")), k = 256).as("approx_customers"))
+        .orderBy("o_orderpriority")),
 
     // J6: composite-key anti-join — items with no (order_id, line_id)
     // match in the gold fact (= items of non-delivered orders)
@@ -158,6 +185,16 @@ object PipelineQueries {
     "o31_glob_scan" ->
       """SELECT o_orderstatus, COUNT(*) AS cnt FROM orders
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "o33_range_join" ->
+      """SELECT o.o_orderpriority, COUNT(*) AS cnt
+        |FROM orders o
+        |JOIN lineitem l
+        |  ON CAST(l.l_shipdate AS TIMESTAMP)
+        |     BETWEEN CAST(o.o_orderdate AS TIMESTAMP)
+        |         AND CAST(o.o_orderdate AS TIMESTAMP) + INTERVAL 7 DAY
+        |WHERE o.o_orderkey % 1000 = 0
+        |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin,
 
     "o32_asof_join" ->
       """WITH o AS (
