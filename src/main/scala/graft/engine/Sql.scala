@@ -19,6 +19,7 @@ object Sql {
     * re-derive it from base tables.
     */
   def registerGold(spark: SparkSession, sfDir: String): Unit = {
+    graft.functions.GraftFunctions.register(spark) // kernel SQL functions
     Gold.fact(spark, sfDir).createOrReplaceTempView("fact_sales")
     Gold.dimCustomer(spark, sfDir).createOrReplaceTempView("dim_customers")
     Gold.dimPart(spark, sfDir).createOrReplaceTempView("dim_products")

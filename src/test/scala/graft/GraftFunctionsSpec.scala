@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.unsafe.types.UTF8String
+import graft.functions.{GraftFunctions, PortableHash, TextHash}
+
+class GraftFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("kernel functions are callable from SQL and match the JVM kernels") {
+    GraftFunctions.register(spark)
+    val text = "spark shuffles data by key across the cluster"
+    val row = spark.sql(
+      s"""SELECT simhash64('$text') AS s,
+         |       simhash_portable64('$text') AS p,
+         |       minhash('$text', 8, 3) AS m,
+         |       dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d
+         |""".stripMargin).collect()(0)
+    assert(row.getAs[Long]("s") == TextHash.simhash64(UTF8String.fromString(text)))
+    assert(row.getAs[Long]("p") == PortableHash.simhash64(UTF8String.fromString(text)))
+    assert(row.getSeq[Long](2).length == 8)
+    assert(row.getAs[Double]("d") == 11.0)
+  }
+
+  test("non-literal k argument is rejected with a clear error") {
+    GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash('a b c', CAST(rand()*4 AS INT), 3)").collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+}
