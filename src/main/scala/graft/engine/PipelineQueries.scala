@@ -87,6 +87,18 @@ object PipelineQueries {
     "p04_describe" -> ((s, d) =>
       Catalog.describe(Tables.lineitem(s, d)).orderBy("col")),
 
+    // J4, repaired: fact ⋈ dim_time at DATE grain (the reference's own
+    // test joins raw timestamps against the daily dim — a grain mismatch
+    // SURVEY §5 documents; this is the corrected join) → revenue by
+    // year/quarter
+    "o34_dim_time_join" -> ((s, d) =>
+      Gold.fact(s, d)
+        .withColumn("order_date", col("order_purchase_timestamp").cast("date"))
+        .join(Gold.dimDate(s, d), "order_date")
+        .groupBy(col("year"), col("quarter"))
+        .agg(round(sum(col("price")), 2).as("revenue"))
+        .orderBy("year", "quarter")),
+
     // as-of join: each event matched to its user's latest order at-or-
     // before the event time (right side deduped per key+ts for tie
     // determinism); oracle = DuckDB's native ASOF JOIN
@@ -185,6 +197,19 @@ object PipelineQueries {
     "o31_glob_scan" ->
       """SELECT o_orderstatus, COUNT(*) AS cnt FROM orders
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "o34_dim_time_join" ->
+      s"""WITH fact AS (${MedallionQueries.factSql}),
+         |dim_time AS (
+         |  SELECT order_date,
+         |         CAST(EXTRACT(year FROM order_date) AS BIGINT) AS year,
+         |         CAST(EXTRACT(quarter FROM order_date) AS BIGINT) AS quarter
+         |  FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS order_date FROM orders))
+         |SELECT t.year, t.quarter, ROUND(SUM(f.price), 2) AS revenue
+         |FROM fact f
+         |JOIN dim_time t ON CAST(f.order_purchase_timestamp AS DATE) = t.order_date
+         |GROUP BY t.year, t.quarter
+         |ORDER BY year, quarter""".stripMargin,
 
     "o33_range_join" ->
       """SELECT o.o_orderpriority, COUNT(*) AS cnt
