@@ -42,7 +42,11 @@ object Landing {
     */
   def explode(spark: SparkSession, sfDir: String, landingRoot: String,
               periodFmt: String = "yyyy"): Seq[LandingFile] = {
-    val orders = Tables.orders(spark, sfDir)
+    // a null order date cannot be period-split (its rows would land in
+    // the hive default partition while the manifest says 'orders_null')
+    // — fail fast at the landing boundary instead
+    val orders = Quality.gate(
+      Tables.orders(spark, sfDir), Seq(Quality.NotNull("o_orderdate")))
       .withColumn("period", date_format(col("o_orderdate"), periodFmt))
     orders
       .repartition(col("period"))

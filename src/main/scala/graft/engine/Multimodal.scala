@@ -81,7 +81,9 @@ object Multimodal {
       lit("text/plain").as("kind"),
       encode(col("text"), "UTF-8").as("media"),
       col("source"),
-      length(col("text")).cast("long").as("n_bytes"))
+      // BYTE length of the stored payload (length-on-binary), not the
+      // character count — they differ on any non-ASCII corpus
+      length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
 
   /** Partition-parallel featurization through the typed Dataset boundary. */
   def featurize(media: DataFrame): DataFrame = {

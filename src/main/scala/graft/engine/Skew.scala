@@ -23,7 +23,12 @@ object Skew {
   def saltedSum(df: DataFrame, key: String, valueCol: String,
                 salts: Int = 16): DataFrame =
     df
-      .withColumn("__salt", pmod(hash(col(key), monotonically_increasing_id()), lit(salts)))
+      // salt derived from ROW CONTENT, never from nondeterministic ids:
+      // a stage retry must re-hash every row to the same salt group, or
+      // reducers double-count/drop rows (the monotonically_increasing_id
+      // -in-a-shuffle class of bug). Degenerates only if the hot key's
+      // rows are fully identical.
+      .withColumn("__salt", pmod(hash(col(key), col(valueCol)), lit(salts)))
       .groupBy(col(key), col("__salt"))
       .agg(sum(col(valueCol)).as("__partial"))
       .groupBy(col(key))
@@ -35,8 +40,8 @@ object Skew {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  salts: Int = 16): DataFrame = {
-    val saltedBig = big.withColumn("__salt",
-      pmod(hash(col(key), monotonically_increasing_id()), lit(salts)))
+    val saltedBig = big.withColumn("__salt", // content-derived: retry-safe
+      pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(salts)))
     val replicatedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedBig.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")

@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native dot-product kernel: one tight JVM loop instead of a
   * `zip_with` + `aggregate` higher-order tree (HOF lambdas are evaluated
@@ -27,11 +27,17 @@ object VectorKernels {
   }
 }
 
-/** Codegen'd `dot(array<double>, array<double>)` expression. Children
-  * must already be `array<double>` (use [[VectorOps.asDouble]]).
+/** Codegen'd `dot(array<double>, array<double>)` expression. Declares
+  * its input types so the analyzer inserts implicit casts — a raw
+  * `array<float>`/`array<int>` argument (e.g. the embeddings column via
+  * the SQL-registered `dot_product`) is widened to `array<double>`
+  * instead of mis-reading element storage at the wrong width.
   */
 case class DotProductExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  // no type annotation: AbstractDataType is private[sql]; inference
+  // still satisfies the ExpectsInputTypes override
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override protected def nullSafeEval(a: Any, b: Any): Any =
     VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

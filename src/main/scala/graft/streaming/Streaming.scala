@@ -80,6 +80,23 @@ object Streaming {
   final case class SessionState(start: Long, lastUs: Long, n: Int)
   final case class ClosedSession(user_id: Long, start_us: Long, end_us: Long, n_events: Int)
 
+  /** One session-automaton step: fold event time `us` into the open
+    * session (or close it and open a new one). `us` can be BEHIND
+    * lastUs for a late, within-watermark event from an earlier batch —
+    * it still belongs to the open session and extends its bounds with
+    * min/max, never moving them backwards. Pure, so unit-testable
+    * outside the streaming runtime.
+    */
+  def advanceSession(open: Option[SessionState], us: Long, gapUs: Long)
+      : (Option[ClosedSession], SessionState) = open match {
+    case Some(cur) if us - cur.lastUs <= gapUs =>
+      (None, SessionState(math.min(cur.start, us), math.max(cur.lastUs, us), cur.n + 1))
+    case Some(cur) =>
+      (Some(ClosedSession(-1L, cur.start, cur.lastUs, cur.n)), SessionState(us, us, 1))
+    case None =>
+      (None, SessionState(us, us, 1))
+  }
+
   /** Custom session state (SURVEY §2.10 "stateful operators"): per-user
     * sessions closed after `gapMinutes` of event-time inactivity, emitted
     * via `flatMapGroupsWithState`. Open sessions flush when the watermark
@@ -106,15 +123,9 @@ object Streaming {
             var open = state.getOption
             var closed = List.empty[ClosedSession]
             sortedUs.foreach { us =>
-              open match {
-                case Some(cur) if us - cur.lastUs <= gapUs =>
-                  open = Some(cur.copy(lastUs = us, n = cur.n + 1))
-                case Some(cur) =>
-                  closed ::= ClosedSession(user, cur.start, cur.lastUs, cur.n)
-                  open = Some(SessionState(us, us, 1))
-                case None =>
-                  open = Some(SessionState(us, us, 1))
-              }
+              val (maybeClosed, next) = advanceSession(open, us, gapUs)
+              maybeClosed.foreach(c => closed ::= c.copy(user_id = user))
+              open = Some(next)
             }
             open.foreach { cur =>
               state.update(cur)

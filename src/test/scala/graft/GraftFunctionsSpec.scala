@@ -22,6 +22,16 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(row.getAs[Double]("d") == 11.0)
   }
 
+  test("dot_product widens float arrays via implicit cast instead of mis-reading them") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    Seq((Seq(1.5f, 2.5f), Seq(2.0f, 4.0f))).toDF("a", "b")
+      .createOrReplaceTempView("graft_fn_spec_vecs")
+    val d = spark.sql("SELECT dot_product(a, b) AS d FROM graft_fn_spec_vecs")
+      .collect()(0).getDouble(0)
+    assert(d == 13.0)
+  }
+
   test("non-literal k argument is rejected with a clear error") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {

@@ -44,4 +44,11 @@ class MultimodalSpec extends AnyFunSuite {
     // n_bytes metadata survives the typed boundary
     assert(feats.find(_.getLong(0) == 2L).get.getLong(1) == 3L)
   }
+
+  test("n_bytes is the UTF-8 byte length, not the character count") {
+    val docs = Seq((1L, "café", "fr", "srcA")).toDF("doc_id", "text", "lang", "source")
+    val row = Multimodal.asMediaTable(docs).collect()(0)
+    assert(row.getAs[Long]("n_bytes") == 5L) // 4 chars, 5 UTF-8 bytes
+    assert(row.getAs[Array[Byte]]("media").length == 5)
+  }
 }

@@ -26,6 +26,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.zip(batch).forall { case (a, b) => a == b })
   }
 
+  test("advanceSession folds late within-watermark events without moving bounds backwards") {
+    import graft.streaming.Streaming.{SessionState, advanceSession}
+    val gap = 30L * 60 * 1000000
+    // open session [600, 600]; a late event at 0 (10 min earlier) joins
+    // it and extends the START, not the end
+    val (closed, s1) = advanceSession(Some(SessionState(600L, 600L, 1)), 0L, gap)
+    assert(closed.isEmpty && s1 == SessionState(0L, 600L, 2))
+    // a later event far beyond the gap closes with end >= start
+    val (c2, s2) = advanceSession(Some(s1), 600L + gap + 1, gap)
+    assert(c2.exists(c => c.start_us == 0L && c.end_us == 600L && c.n_events == 2))
+    assert(s2.n == 1)
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on event-time gaps") {
     def ev(u: Long, minute: Int) =
       Event(u, new Timestamp(3600_000L * 24 + minute * 60_000L))
