@@ -138,6 +138,17 @@ object PipelineQueries {
         .agg(count(lit(1)).as("cnt"))
         .orderBy("o_orderstatus")),
 
+    // exact interpolated percentiles (sort-based, deterministic across
+    // engines — unlike streaming stddev/corr whose partial-merge order
+    // jitters); Spark `percentile` == DuckDB `quantile_cont`
+    "o35_percentiles" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_extendedprice, 0.5)").as("median_price"),
+          expr("percentile(l_extendedprice, 0.9)").as("p90_price"))
+        .orderBy("l_returnflag")),
+
     // KMV sketch aggregator (rows-only: approximate by design): distinct
     // customers per priority, estimate next to the exact for inspection
     "x03_sketch_distinct" -> ((s, d) =>
@@ -197,6 +208,12 @@ object PipelineQueries {
     "o31_glob_scan" ->
       """SELECT o_orderstatus, COUNT(*) AS cnt FROM orders
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "o35_percentiles" ->
+      """SELECT l_returnflag,
+        |       quantile_cont(l_extendedprice, 0.5) AS median_price,
+        |       quantile_cont(l_extendedprice, 0.9) AS p90_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "o34_dim_time_join" ->
       s"""WITH fact AS (${MedallionQueries.factSql}),
