@@ -43,18 +43,28 @@ object Bench {
     names.foreach { n =>  // warm-up, untimed
       try materialize(n) catch { case _: Throwable => () }
     }
+    // a failing query is REPORTED, never silently recorded as a fast
+    // near-zero time — a bench that hides failures isn't a measurement
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = names.map { n =>
       val t0 = System.nanoTime()
-      try materialize(n) catch { case _: Throwable => () }
+      try materialize(n) catch {
+        case e: Throwable =>
+          errors(n) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      }
       n -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => Json.quote(k) + ":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val errJson = errors.map { case (k, v) => Json.quote(k) + ":" + Json.quote(v) }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (n, v) if !errors.contains(n) => v }.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"setup_sec":$setupSec,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"setup_sec":$setupSec,"n_errors":${errors.size},"errors":$errJson,"sf":${Json.quote(sfDir)}}"""
     Files.writeString(Paths.get("bench_out.json"), json)
     println(json)
+    if (errors.nonEmpty)
+      System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

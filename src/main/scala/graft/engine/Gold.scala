@@ -19,22 +19,12 @@ import org.apache.spark.sql.functions._
   */
 object Gold {
 
-  private val materialized = new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  /** Layer root for a source sfDir — inside the build dir, never the
-    * (read-only) testdata.
-    */
-  private def layerRoot(sfDir: String): String = {
-    val key = sfDir.replaceAll("[^A-Za-z0-9.]+", "_").dropWhile(_ == '_')
-    new java.io.File(s"target/graft-layers/$key").getAbsolutePath
-  }
-
   /** Write silver + gold parquet for sfDir if this JVM hasn't yet; returns
-    * the layer root. Thread-safe; runs at most once per (JVM, sfDir).
+    * the layer root (under the build dir, never the read-only testdata).
+    * Thread-safe; runs at most once per (JVM, sfDir).
     */
   def ensure(spark: SparkSession, sfDir: String): String =
-    materialized.computeIfAbsent(sfDir, _ => {
-      val dir = layerRoot(sfDir)
+    Workdirs.materializeOnce("graft-layers", sfDir) { dir =>
       // fail-fast quality gate between bronze and silver (§2.11): one
       // aggregation pass per table; a violation aborts the whole
       // materialization before anything is written
@@ -59,8 +49,7 @@ object Gold {
         .write.mode("overwrite").parquet(s"$dir/dim_products")
       Medallion.dimDate(Tables.orders(spark, sfDir))
         .write.mode("overwrite").parquet(s"$dir/dim_time")
-      dir
-    })
+    }
 
   def silverOrders(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"${ensure(spark, sfDir)}/silver_orders")

@@ -33,11 +33,14 @@ object Incremental {
 
   private def techLogPath(bronzeRoot: String) = s"$bronzeRoot/tech/processed_files"
 
+  /** Missing log ⇒ first run ⇒ empty; any OTHER failure (half-written
+    * file, schema drift) propagates — silently treating corruption as
+    * "no log yet" would let a rerun rewrite every entry's counts to 0.
+    */
   def readTechLog(spark: SparkSession, bronzeRoot: String): Seq[LogEntry] = {
     import spark.implicits._
     if (!new java.io.File(techLogPath(bronzeRoot)).exists()) Nil
-    else Try(spark.read.parquet(techLogPath(bronzeRoot)).as[LogEntry].collect().toSeq)
-      .getOrElse(Nil)
+    else spark.read.parquet(techLogPath(bronzeRoot)).as[LogEntry].collect().toSeq
   }
 
   /** Upsert-by-rewrite of the (tiny, file-count-bounded) tech log — the
@@ -75,6 +78,17 @@ object Incremental {
     val ordersDir = s"$bronzeRoot/orders"
     val itemsDir = s"$bronzeRoot/lineitem"
 
+    // The log is JOURNALED after every file (like the reference's
+    // per-file upsert), not once per run: if the run aborts mid-way, the
+    // completed files' audit counts survive and only the aborted file is
+    // reprocessed. O(files²) log rewrites, but the log is tiny.
+    var logState = prior
+    def journal(e: LogEntry): LogEntry = {
+      logState = logState + (e.file_name -> e)
+      writeTechLog(spark, bronzeRoot, logState.values.toSeq)
+      e
+    }
+
     // A file is already in bronze when its log entry (OK = ingested, or
     // SKIP = verified-unchanged on a later run; a SKIP record must not
     // invalidate the earlier OK) carries the current manifest fingerprint.
@@ -84,7 +98,7 @@ object Incremental {
 
     val orderEntries = manifest.filter(_.file.startsWith("orders_")).sortBy(_.file).map { f =>
       if (processed(f))
-        LogEntry(f.file, f.fingerprint, "SKIP", 0L, 0L, "SKIP: unchanged")
+        journal(LogEntry(f.file, f.fingerprint, "SKIP", 0L, 0L, "SKIP: unchanged"))
       else {
         val period = f.file.stripPrefix("orders_")
         val incoming = spark.read.parquet(s"$landingRoot/orders/period=$period")
@@ -106,13 +120,19 @@ object Incremental {
         val nOrders = newOrders.count()
 
         // items of NEW orders only (semi-join J7) then composite-key
-        // anti-join (J6) — staged the same way
+        // anti-join (J6) — staged the same way. The landing item dump is
+        // partitioned by the order's period (Landing.explode), so both
+        // the candidate scan and the dedup anti-join prune to this
+        // file's partition instead of re-scanning every item per file.
         val newIds = newOrders.select("o_orderkey").distinct()
         val candidateItems = spark.read.parquet(s"$landingRoot/lineitem")
+          .filter(col("period") === period)
           .join(newIds, col("l_orderkey") === col("o_orderkey"), "left_semi")
         (readIfExists(spark, itemsDir) match {
           case Some(existing) =>
-            candidateItems.join(existing.select("l_orderkey", "l_linenumber"),
+            candidateItems.join(
+              existing.filter(col("period") === period)
+                .select("l_orderkey", "l_linenumber"),
               Seq("l_orderkey", "l_linenumber"), "left_anti")
           case None => candidateItems
         }).write.mode("overwrite").parquet(s"$stage/lineitem")
@@ -122,27 +142,33 @@ object Incremental {
           Quality.gate(newItems, Seq(Quality.NotNull("l_orderkey"),
             Quality.NotNull("l_partkey"), Quality.NonNegative("l_extendedprice")))
 
+        // ITEMS append FIRST: if the JVM dies between the two appends, a
+        // rerun reprocesses the file, the item anti-join dedups the
+        // already-appended items, and the orders append completes — the
+        // reverse order would leave the file's items permanently lost
+        // (orders present ⇒ anti-join finds no "new" orders ⇒ no item
+        // candidates ever again).
+        if (nItems > 0)
+          newItems.write.mode("append").partitionBy("period").parquet(itemsDir)
         newOrders.write.mode("append").parquet(ordersDir)
-        if (nItems > 0) newItems.write.mode("append").parquet(itemsDir)
-        LogEntry(f.file, f.fingerprint, "OK", nOrders, nItems, s"OK: inserted $nOrders")
+        Workdirs.deleteRecursively(new java.io.File(stage)) // transient
+        journal(LogEntry(f.file, f.fingerprint, "OK", nOrders, nItems,
+          s"OK: inserted $nOrders"))
       }
     }
 
     val dimEntries = manifest.filter(_.file.endsWith("_full")).sortBy(_.file).map { f =>
       if (processed(f))
-        LogEntry(f.file, f.fingerprint, "SKIP", 0L, 0L, "SKIP: unchanged")
+        journal(LogEntry(f.file, f.fingerprint, "SKIP", 0L, 0L, "SKIP: unchanged"))
       else {
         val name = f.file.stripSuffix("_full")
         val df = spark.read.parquet(s"$landingRoot/$name")
         val n = df.count()
         df.write.mode("overwrite").parquet(s"$bronzeRoot/$name") // full REPLACE
-        LogEntry(f.file, f.fingerprint, "OK", n, 0L, s"OK: replaced $n")
+        journal(LogEntry(f.file, f.fingerprint, "OK", n, 0L, s"OK: replaced $n"))
       }
     }
 
-    val thisRun = orderEntries ++ dimEntries
-    val merged = (prior ++ thisRun.map(e => e.file_name -> e).toMap).values.toSeq
-    writeTechLog(spark, bronzeRoot, merged)
-    thisRun
+    orderEntries ++ dimEntries
   }
 }

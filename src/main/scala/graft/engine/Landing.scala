@@ -52,7 +52,17 @@ object Landing {
       .repartition(col("period"))
       .write.mode("overwrite").partitionBy("period")
       .parquet(s"$landingRoot/orders")
-    Tables.lineitem(spark, sfDir).write.mode("overwrite")
+    // items carry their ORDER's period and are partitioned by it, so the
+    // incremental per-file item pass is a partition-pruned scan instead
+    // of a full re-scan per file; an item whose order is absent gets a
+    // null period (hive default partition) and is never ingested —
+    // matching the semi-join-on-new-orders semantics
+    Tables.lineitem(spark, sfDir)
+      .join(orders.select(col("o_orderkey").as("__ok"), col("period")),
+        col("l_orderkey") === col("__ok"), "left")
+      .drop("__ok")
+      .repartition(col("period"))
+      .write.mode("overwrite").partitionBy("period")
       .parquet(s"$landingRoot/lineitem")
     Tables.customer(spark, sfDir).write.mode("overwrite")
       .parquet(s"$landingRoot/customer")

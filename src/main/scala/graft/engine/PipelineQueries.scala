@@ -13,22 +13,13 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries {
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete(): Unit
-  }
-
-  private val demoDone = new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** Run the full incremental demo once per (JVM, sfDir); returns its
     * root directory. run1/run2 reports are persisted as parquet so every
     * registry query is a plain deterministic read.
     */
   def ensureDemo(spark: SparkSession, sfDir: String): String =
-    demoDone.computeIfAbsent(sfDir, _ => {
-      val key = sfDir.replaceAll("[^A-Za-z0-9.]+", "_").dropWhile(_ == '_')
-      val root = new java.io.File(s"target/graft-incremental/$key").getAbsolutePath
-      deleteRecursively(new java.io.File(root))
+    Workdirs.materializeOnce("graft-incremental", sfDir) { root =>
+      Workdirs.deleteRecursively(new java.io.File(root))
       val landing = s"$root/landing"
       val bronze = s"$root/bronze"
       Landing.explode(spark, sfDir, landing, periodFmt = "yyyy")
@@ -42,25 +33,20 @@ object PipelineQueries {
         .toDF("file_name", "run1_status", "run1_orders", "run1_items")
         .join(
           run2.map(e => (e.file_name, e.status, e.rows_orders, e.rows_items,
-            note2(e.file_name)))
+            note2.getOrElse(e.file_name,
+              sys.error(s"tech log lost entry for ${e.file_name}"))))
             .toDF("file_name", "run2_status", "run2_orders", "run2_items", "run2_note"),
           "file_name")
       summary.coalesce(1).write.mode("overwrite").parquet(s"$root/summary")
-      root
-    })
-
-  private val csvDone = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    }
 
   /** Write orders out as CSV once per (JVM, sfDir) for the round-trip
     * query; returns the CSV directory.
     */
   def ensureCsv(spark: SparkSession, sfDir: String): String =
-    csvDone.computeIfAbsent(sfDir, _ => {
-      val key = sfDir.replaceAll("[^A-Za-z0-9.]+", "_").dropWhile(_ == '_')
-      val dir = new java.io.File(s"target/graft-csv/$key/orders").getAbsolutePath
-      Sources.writeCsv(Tables.orders(spark, sfDir), dir)
-      dir
-    })
+    Workdirs.materializeOnce("graft-csv", sfDir) { dir =>
+      Sources.writeCsv(Tables.orders(spark, sfDir), s"$dir/orders")
+    } + "/orders"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.10 end-to-end: per-file fingerprint skip, exactly-once appends,
@@ -140,7 +126,9 @@ object PipelineQueries {
 
     // exact interpolated percentiles (sort-based, deterministic across
     // engines — unlike streaming stddev/corr whose partial-merge order
-    // jitters); Spark `percentile` == DuckDB `quantile_cont`
+    // jitters); Spark `percentile` == DuckDB `quantile_cont`. Exactness
+    // costs a per-group value buffer — at 100 TB swap in the built-in
+    // t-digest `approx_percentile`, which this query is the oracle for.
     "o35_percentiles" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))

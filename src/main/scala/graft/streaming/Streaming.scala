@@ -19,8 +19,6 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streaming {
 
-  private val staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** Streaming scan of the events table (nanos timestamps read as longs
     * and truncated to µs exactly like [[graft.engine.Tables.events]]).
     * The file stream source wants a DIRECTORY to watch; testdata ships a
@@ -30,16 +28,14 @@ object Streaming {
     */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val dir = staged.computeIfAbsent(sfDir, _ => {
-      val key = sfDir.replaceAll("[^A-Za-z0-9.]+", "_").dropWhile(_ == '_')
-      val d = new java.io.File(s"target/graft-streaming/$key/events")
+    val dir = graft.engine.Workdirs.materializeOnce("graft-streaming", sfDir) { root =>
+      val d = new java.io.File(s"$root/events")
       d.mkdirs()
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$sfDir/events.parquet"),
         d.toPath.resolve("events.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      d.getAbsolutePath
-    })
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    } + "/events"
     val schema = spark.read.parquet(dir).schema
     spark.readStream.schema(schema).parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
