@@ -124,6 +124,18 @@ object PipelineQueries {
         .agg(count(lit(1)).as("cnt"))
         .orderBy("o_orderstatus")),
 
+    // sliding event-time windows (1h window, 30min slide) — the batch
+    // twin of the streaming windowed agg; each event lands in exactly 2
+    // windows, epoch-aligned identically to DuckDB time_bucket
+    "o36_sliding_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+        .select(col("window.start").as("window_start"),
+          col("n_events"), col("total_value"))
+        .orderBy("window_start")),
+
     // exact interpolated percentiles (sort-based, deterministic across
     // engines — unlike streaming stddev/corr whose partial-merge order
     // jitters); Spark `percentile` == DuckDB `quantile_cont`. Exactness
@@ -196,6 +208,16 @@ object PipelineQueries {
     "o31_glob_scan" ->
       """SELECT o_orderstatus, COUNT(*) AS cnt FROM orders
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "o36_sliding_window" ->
+      """SELECT start AS window_start, COUNT(*) AS n_events,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM (SELECT unnest([time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)),
+        |                     time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+        |                       - INTERVAL '30 minutes']) AS start,
+        |             value
+        |      FROM events)
+        |GROUP BY 1 ORDER BY window_start""".stripMargin,
 
     "o35_percentiles" ->
       """SELECT l_returnflag,

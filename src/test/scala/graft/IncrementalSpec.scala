@@ -85,6 +85,20 @@ class IncrementalSpec extends AnyFunSuite {
     assert(log("orders_1996").note.startsWith("OK:"))
   }
 
+  test("monthly-grain landing produces the same bronze as yearly-grain") {
+    val src = TestSpark.tmpDir("inc-month-src")
+    val root = TestSpark.tmpDir("inc-month-root")
+    writeSource(src)
+    Landing.explode(spark, src, s"$root/landing", periodFmt = "yyyy-MM")
+    val run1 = Incremental.run(spark, s"$root/landing", s"$root/bronze")
+    assert(run1.count(_.file_name.startsWith("orders_")) == 4) // 4 distinct months
+    assert(run1.filter(_.file_name.startsWith("orders_")).map(_.rows_orders).sum == 4)
+    assert(spark.read.parquet(s"$root/bronze/orders").count() == 4)
+    assert(spark.read.parquet(s"$root/bronze/lineitem").count() == 5)
+    val run2 = Incremental.run(spark, s"$root/landing", s"$root/bronze")
+    assert(run2.forall(_.status == "SKIP"))
+  }
+
   test("quality gate aborts the file on bad input before any write") {
     val src = TestSpark.tmpDir("inc-bad-src")
     val root = TestSpark.tmpDir("inc-bad-root")
