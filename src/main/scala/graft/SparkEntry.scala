@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.engine.{AnalyticsQueries, DedupQueries, Medallion, MedallionQueries,
-  OperatorQueries, PipelineQueries, SimilarityQueries, Tables, TextQueries}
+  OperatorQueries, PipelineQueries, SimilarityQueries, Tables, TextQueries, TpchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -37,6 +37,7 @@ object SparkEntry {
       TextQueries.queries ++
       SimilarityQueries.queries ++
       PipelineQueries.queries ++
+      TpchQueries.queries ++
       graft.streaming.StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -50,5 +51,6 @@ object SparkEntry {
       TextQueries.oracles ++
       SimilarityQueries.oracles ++
       PipelineQueries.oracles ++
+      TpchQueries.oracles ++
       graft.streaming.StreamingQueries.oracles
 }

@@ -99,6 +99,28 @@ class IncrementalSpec extends AnyFunSuite {
     assert(run2.forall(_.status == "SKIP"))
   }
 
+  test("rerun converges after a crash between the item and order appends") {
+    val src = TestSpark.tmpDir("inc-crash-src")
+    val root = TestSpark.tmpDir("inc-crash-root")
+    writeSource(src)
+    Landing.explode(spark, src, s"$root/landing", periodFmt = "yyyy")
+    // simulate the crash window: orders_1995's items already appended,
+    // its orders not, and no log entry written
+    spark.read.parquet(s"$root/landing/lineitem")
+      .filter("period = '1995'")
+      .write.mode("append").partitionBy("period")
+      .parquet(s"$root/bronze/lineitem")
+    val run1 = Incremental.run(spark, s"$root/landing", s"$root/bronze")
+    val r1 = run1.map(e => e.file_name -> e).toMap
+    assert(r1("orders_1995").rows_orders == 2)
+    assert(r1("orders_1995").rows_items == 0, "pre-appended items must dedup, not duplicate")
+    val orders = spark.read.parquet(s"$root/bronze/orders")
+    val items = spark.read.parquet(s"$root/bronze/lineitem")
+    assert(orders.count() == 4)
+    assert(items.count() == 5)
+    assert(items.select("l_orderkey", "l_linenumber").distinct().count() == 5)
+  }
+
   test("quality gate aborts the file on bad input before any write") {
     val src = TestSpark.tmpDir("inc-bad-src")
     val root = TestSpark.tmpDir("inc-bad-root")

@@ -26,6 +26,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.zip(batch).forall { case (a, b) => a == b })
   }
 
+  test("streaming dedup: dropDuplicates keeps one row per event id") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    source.addData((1L, "a"), (1L, "a"), (2L, "b"), (3L, "c"), (2L, "b"))
+    val out = Streaming.runAvailableNow(
+      source.toDS().toDF("event_id", "payload").dropDuplicates("event_id"),
+      "streaming_spec_dedup",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .collect()
+    assert(out.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("advanceSession folds late within-watermark events without moving bounds backwards") {
     import graft.streaming.Streaming.{SessionState, advanceSession}
     val gap = 30L * 60 * 1000000
