@@ -11,10 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Suites share one SparkSession (TestSpark) and some toggle session
+// conf around a plan assertion — run them sequentially, not in
+// parallel threads of the forked JVM.
+Test / parallelExecution := false
 // Forked-run output goes straight to stdout (no sbt [info]/[error] log
 // prefixes) so the driver can parse Bench's single JSON line.
 run / outputStrategy := Some(StdoutOutput)
 Test / outputStrategy := Some(StdoutOutput)
+// Suppress sbt's trailing "[success] Total time: …" line: the driver
+// parses Bench's JSON from the tail of captured stdout, and the JSON
+// line must be the LAST line to survive the driver's 2000-char window.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

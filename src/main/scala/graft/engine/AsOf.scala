@@ -36,6 +36,14 @@ object AsOf {
            keyCols: (String, String), tsCols: (String, String),
            payloadCol: String): DataFrame = {
     val leftCols = left.columns.toSeq
+    // withColumn would silently OVERWRITE a same-named left column, and
+    // the final select aliases __match to payloadCol — either collision
+    // corrupts output, so reject both up front
+    val reserved = Seq("__k", "__t", "__side", "__p", "__match")
+    val clashes = leftCols.filter(c => reserved.contains(c) || c == payloadCol)
+    require(clashes.isEmpty,
+      s"AsOf.join: left columns ${clashes.mkString(", ")} collide with " +
+        s"internal names ($reserved) or the payload column '$payloadCol'")
     val l = left
       .withColumn("__k", col(keyCols._1))
       .withColumn("__t", col(tsCols._1))

@@ -13,7 +13,11 @@ import scala.util.Try
   *  - fail-fast DQC gate per file before any write (`:68-106`)
   *  - exactly-once appends: `left_anti` on the natural key for orders
   *    (J5, `:275-289`), items loaded ONLY for new orders (semi-join J7,
-  *    `:302-307`) then composite-key anti-join (J6, `:308-318`)
+  *    `:302-307`) then composite-key anti-join (J6, `:308-318`).
+  *    INSERT-ONLY CONTRACT (same as the reference): a changed file is
+  *    re-fingerprinted and reprocessed, but only rows with NEW keys are
+  *    appended — an update to an already-ingested order's payload is
+  *    dropped by the anti-join, by design (asserted in IncrementalSpec)
   *  - changed dims ⇒ full REPLACE (`:199-219`)
   *  - queryable tech log with upsert semantics (S9, `:144-155`) and the
   *    SQL-UPDATE note repair (S11, `scripts/normalize_tech_log.py:4-11`)

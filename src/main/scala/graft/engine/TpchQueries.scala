@@ -7,9 +7,14 @@ import org.apache.spark.sql.functions._
   * beyond the reference's 7 dashboard queries, these are the canonical
   * OLAP shapes any user of an analytics engine reaches for: the Q1
   * pricing summary (wide multi-aggregate scan), Q6 predicate-heavy
-  * single-pass revenue delta, and Q3 segment-filtered join + top-k.
-  * All scan-dominant: filters push to parquet, aggregates are one
-  * partial+final shuffle, top-k plans as TakeOrderedAndProject.
+  * single-pass revenue delta, Q3 segment-filtered join + top-k, Q4
+  * correlated-EXISTS priority check, Q5 six-table snowflake join, Q10
+  * returned-item top-k, and Q14 conditional-aggregate ratio (columns the
+  * testdata lacks — l_commitdate, l_shipmode — are adapted, the operator
+  * shapes are not). All scan-dominant: filters push to parquet,
+  * aggregates are one partial+final shuffle, top-k plans as
+  * TakeOrderedAndProject, fixed-size dims broadcast while SF-scaled
+  * tables stay unhinted for AQE.
   */
 object TpchQueries {
   import Tables._
@@ -51,7 +56,85 @@ object TpchQueries {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
-        .limit(10))
+        .limit(10)),
+
+    // Q4 shape: order-priority checking. The testdata has no
+    // l_commitdate/l_receiptdate, so "late" is adapted to "an item
+    // shipped >30 days after the order date"; the operator under test —
+    // correlated EXISTS planned as a left-semi join with a non-equi
+    // conjunct — is identical to Q4's.
+    "t04_order_priority" -> ((s, d) => {
+      val o = orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1996-04-01")))
+      o.join(lineitem(s, d),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAY"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Q5: local-supplier volume — the canonical 6-table snowflake join.
+    // nation⋈region is a fixed 25-row dim ⇒ broadcast is scale-safe;
+    // customer/orders/lineitem/supplier all grow with SF ⇒ left unhinted
+    // for AQE to pick shuffle vs broadcast at runtime.
+    "t05_local_supplier_volume" -> ((s, d) => {
+      val asiaNations = nation(s, d)
+        .join(region(s, d).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      customer(s, d)
+        .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+        .join(orders(s, d)
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1997-01-01"))),
+          col("c_custkey") === col("o_custkey"))
+        .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(supplier(s, d),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // Q10 shape: returned-item reporting — top 20 customers by revenue
+    // lost to returns in one quarter. Revenue sums per-row DECIMAL(18,4)
+    // (not double): small per-group sums are where double addition order
+    // flips the last ulp between engines and breaks the 2-decimal round —
+    // decimal addition is exact and order-free, so Spark and the DuckDB
+    // oracle agree bit-for-bit.
+    "t06_returned_items" -> ((s, d) =>
+      customer(s, d)
+        .join(broadcast(nation(s, d).select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(orders(s, d)
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1996-04-01"))),
+          col("c_custkey") === col("o_custkey"))
+        .join(lineitem(s, d).filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")), 2).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)),
+
+    // Q14: promotion effect — conditional-aggregate ratio over one month
+    "t07_promo_effect" -> ((s, d) => {
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-09-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1996-10-01")))
+        .join(part(s, d).select("p_partkey", "p_type"),
+          col("l_partkey") === col("p_partkey"))
+        .agg(round(
+          lit(100.0) * sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)))
+            / sum(rev), 2).as("promo_revenue_pct"))
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -87,6 +170,60 @@ object TpchQueries {
         |  AND CAST(o.o_orderdate AS TIMESTAMP) < TIMESTAMP '1997-01-01'
         |  AND CAST(l.l_shipdate AS TIMESTAMP) > TIMESTAMP '1997-01-01'
         |GROUP BY l.l_orderkey, CAST(o.o_orderdate AS TIMESTAMP), o.o_orderpriority
-        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "t04_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders o
+        |WHERE CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01'
+        |  AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND CAST(l.l_shipdate AS TIMESTAMP) >
+        |          CAST(o.o_orderdate AS TIMESTAMP) + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "t05_local_supplier_volume" ->
+      """SELECT n.n_name,
+        |       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |              AND s.s_nationkey = c.c_nationkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND CAST(o.o_orderdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01'
+        |  AND CAST(o.o_orderdate AS TIMESTAMP) < TIMESTAMP '1997-01-01'
+        |GROUP BY n.n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "t06_returned_items" ->
+      """SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+        |       CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |                          AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE CAST(o.o_orderdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01'
+        |  AND CAST(o.o_orderdate AS TIMESTAMP) < TIMESTAMP '1996-04-01'
+        |  AND l.l_returnflag = 'R'
+        |GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "t07_promo_effect" ->
+      """SELECT ROUND(
+        |         100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+        |                          THEN l.l_extendedprice * (1 - l.l_discount)
+        |                          ELSE 0.0 END)
+        |         / SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS promo_revenue_pct
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE CAST(l.l_shipdate AS TIMESTAMP) >= TIMESTAMP '1996-09-01'
+        |  AND CAST(l.l_shipdate AS TIMESTAMP) < TIMESTAMP '1996-10-01'""".stripMargin
   )
 }

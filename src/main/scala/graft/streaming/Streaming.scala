@@ -52,9 +52,15 @@ object Streaming {
       .select(col("window.start").as("hour"), col("n_events"), col("total_value"))
 
   /** Run a (finite) streaming frame to completion with
-    * `Trigger.AvailableNow` into a memory sink; returns the sink table.
-    * Complete mode ⇒ the sink holds the full aggregate, equal to the
-    * batch computation over the same input.
+    * `Trigger.AvailableNow` into a memory sink; returns the sink's rows
+    * as a local-relation DataFrame. Complete mode ⇒ the sink holds the
+    * full aggregate, equal to the batch computation over the same input.
+    *
+    * The checkpoint dir and the memory-sink temp view are RELEASED
+    * before returning — repeated bench/verify invocations must not
+    * accumulate temp dirs and in-JVM sink tables for the session's
+    * lifetime. (The sink result is an aggregate — small by construction
+    * — so localizing it is not a driver-side data move.)
     */
   def runAvailableNow(df: DataFrame, name: String,
                       mode: OutputMode = OutputMode.Complete()): DataFrame = {
@@ -69,7 +75,12 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    val sink = spark.table(name)
+    val rows = java.util.Arrays.asList(sink.collect(): _*)
+    val result = spark.createDataFrame(rows, sink.schema)
+    spark.catalog.dropTempView(name)
+    graft.engine.Workdirs.deleteRecursively(new java.io.File(checkpoint))
+    result
   }
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp)

@@ -37,4 +37,15 @@ class AsOfSpec extends AnyFunSuite {
       .select("trade_id").collect().map(_.getLong(0)).toSet
     assert(!ids.contains(4L) && !ids.contains(5L))
   }
+
+  test("rejects left frames whose columns collide with internal or payload names") {
+    intercept[IllegalArgumentException] {
+      AsOf.join(trades.withColumnRenamed("trade_id", "__side"), quotes,
+        ("sym", "sym"), ("tts", "qts"), "px")
+    }
+    intercept[IllegalArgumentException] {
+      AsOf.join(trades.withColumnRenamed("trade_id", "px"), quotes,
+        ("sym", "sym"), ("tts", "qts"), "px")
+    }
+  }
 }

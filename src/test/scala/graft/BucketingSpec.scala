@@ -8,7 +8,10 @@ class BucketingSpec extends AnyFunSuite {
 
   test("bucket-aligned fact ⋈ dim joins without any shuffle Exchange") {
     val (factT, dimT) = Bucketing.bucketedStar(spark, "/root/testdata/sf0.001", buckets = 4)
-    // force the shuffle-join path (disable broadcast) to expose bucketing
+    // force the shuffle-join path (disable broadcast) to expose bucketing;
+    // restore the PRIOR value (not a hardcoded default) because the
+    // session is shared across suites
+    val priorThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val joined = spark.table(factT).join(spark.table(dimT), "customer_id")
@@ -23,6 +26,6 @@ class BucketingSpec extends AnyFunSuite {
         .count()
       assert(viaBuckets == viaPlain)
     } finally
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", priorThreshold)
   }
 }

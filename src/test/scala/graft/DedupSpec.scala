@@ -34,6 +34,35 @@ class DedupSpec extends AnyFunSuite {
     assert(!out.keySet.exists(p => Set(p._1, p._2).intersect(Set(3L, 4L)).nonEmpty))
   }
 
+  test("LSH candidates are complete vs the exact pair set on the shipped corpus") {
+    // the o22 DuckDB oracle enumerates ALL pairs with jaccard >= 0.8;
+    // LSH candidate generation is probabilistic, so completeness on the
+    // corpus the driver actually checks must be ASSERTED, not assumed.
+    // The exact side uses an inverted-index self-join on shingles —
+    // complete by construction (jaccard >= 0.8 > 0 implies a shared
+    // shingle) and still no all-pairs cartesian.
+    import org.apache.spark.sql.functions._
+    import graft.engine.TextOps
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("doc_id", "text")
+    val ssets = docs.select(col("doc_id"), TextOps.shingleSet(col("text"), 3).as("sset"))
+    val inv = ssets.select(col("doc_id"), explode(col("sset")).as("sh"))
+    val exact = inv.select(col("doc_id").as("a"), col("sh"))
+      .join(inv.select(col("doc_id").as("b"), col("sh")), "sh")
+      .filter(col("a") < col("b")).select("a", "b").distinct()
+      .join(ssets.select(col("doc_id").as("a"), col("sset").as("sa")), "a")
+      .join(ssets.select(col("doc_id").as("b"), col("sset").as("sb")), "b")
+      .select(col("a"), col("b"), TextOps.jaccard(col("sa"), col("sb")).as("j"))
+      .filter(col("j") >= 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Dedup.minhashLshJaccard(docs, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.nonEmpty, "corpus must contain at least one qualifying pair")
+    assert(lsh == exact,
+      s"LSH missed ${(exact.keySet -- lsh.keySet).mkString(", ")}; " +
+        s"spurious ${(lsh.keySet -- exact.keySet).mkString(", ")}")
+  }
+
   test("exactDedup groups by content hash and keeps the min id") {
     val groups = Dedup.exactDedup(corpus).collect()
       .map(r => r.getLong(1) -> r.getLong(2)).toMap // keep_id -> size

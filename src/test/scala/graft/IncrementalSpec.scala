@@ -121,6 +121,37 @@ class IncrementalSpec extends AnyFunSuite {
     assert(items.select("l_orderkey", "l_linenumber").distinct().count() == 5)
   }
 
+  test("payload-only change re-fingerprints and reprocesses, but stays insert-only") {
+    val src = TestSpark.tmpDir("inc-upd-src")
+    val root = TestSpark.tmpDir("inc-upd-root")
+    writeSource(src)
+    Landing.explode(spark, src, s"$root/landing", periodFmt = "yyyy")
+    Incremental.run(spark, s"$root/landing", s"$root/bronze")
+
+    // correct order 1's o_totalprice — same keys, same row count, so the
+    // old id-only fingerprint would collide and silently SKIP the file
+    Seq(
+      (1L, 10L, "F", 999.0, ts("1995-03-01 00:00:00"), "1-URGENT"),
+      (2L, 11L, "O", 200.0, ts("1995-07-01 00:00:00"), "2-HIGH"),
+      (3L, 10L, "F", 300.0, ts("1996-01-01 00:00:00"), "3-MEDIUM"),
+      (4L, 12L, "P", 400.0, ts("1996-06-01 00:00:00"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$src/orders.parquet")
+    Landing.explode(spark, src, s"$root/landing", periodFmt = "yyyy")
+    val run2 = Incremental.run(spark, s"$root/landing", s"$root/bronze")
+    val r2 = run2.map(e => e.file_name -> e).toMap
+    assert(r2("orders_1995").status == "OK",
+      "content change must invalidate the fingerprint skip")
+    assert(r2("orders_1995").rows_orders == 0,
+      "insert-only: no new keys, nothing appended")
+    assert(r2("orders_1996").status == "SKIP", "untouched file stays skipped")
+    val price = spark.read.parquet(s"$root/bronze/orders")
+      .filter("o_orderkey = 1").select("o_totalprice").as[Double].head()
+    assert(price == 100.0,
+      "insert-only contract: existing row's payload is NOT updated in place")
+  }
+
   test("quality gate aborts the file on bad input before any write") {
     val src = TestSpark.tmpDir("inc-bad-src")
     val root = TestSpark.tmpDir("inc-bad-root")
