@@ -25,30 +25,44 @@ object Gold {
     */
   def ensure(spark: SparkSession, sfDir: String): String =
     Workdirs.materializeOnce("graft-layers", sfDir) { dir =>
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
       // fail-fast quality gate between bronze and silver (§2.11): one
       // aggregation pass per table; a violation aborts the whole
-      // materialization before anything is written
+      // materialization before anything is written. The gated silvers
+      // are cached — each feeds its own write AND the fact build.
       val so = Quality.gate(
         Medallion.silverOrders(Tables.orders(spark, sfDir)), Quality.orderChecks)
+        .persist()
       val sl = Quality.gate(
         Medallion.silverLineitem(Tables.lineitem(spark, sfDir)), Quality.lineitemChecks)
-      so.write.mode("overwrite").parquet(s"$dir/silver_orders")
-      sl.write.mode("overwrite").parquet(s"$dir/silver_lineitem")
+        .persist()
       val fact = Medallion.factSales(so, sl)
         .withColumn("order_month",
           date_format(col("order_purchase_timestamp"), "yyyy-MM"))
-      fact
-        .repartition(col("order_month"))
-        .write.mode("overwrite").partitionBy("order_month")
-        .parquet(s"$dir/fact_sales")
-      Medallion.dimCustomer(
-          Tables.customer(spark, sfDir), Tables.nation(spark, sfDir),
-          Tables.region(spark, sfDir))
-        .write.mode("overwrite").parquet(s"$dir/dim_customers")
-      Medallion.dimPart(Tables.part(spark, sfDir))
-        .write.mode("overwrite").parquet(s"$dir/dim_products")
-      Medallion.dimDate(Tables.orders(spark, sfDir))
-        .write.mode("overwrite").parquet(s"$dir/dim_time")
+      // the six layer writes are independent of each other — submit them
+      // as concurrent Spark jobs (FIFO-scheduled over the same executor
+      // pool) instead of serially leaving the cluster idle between
+      // write barriers; driver threads are a standard way to overlap
+      // independent jobs in one session
+      val writes = Seq(
+        Future(so.write.mode("overwrite").parquet(s"$dir/silver_orders")),
+        Future(sl.write.mode("overwrite").parquet(s"$dir/silver_lineitem")),
+        Future(fact
+          .repartition(col("order_month"))
+          .write.mode("overwrite").partitionBy("order_month")
+          .parquet(s"$dir/fact_sales")),
+        Future(Medallion.dimCustomer(
+            Tables.customer(spark, sfDir), Tables.nation(spark, sfDir),
+            Tables.region(spark, sfDir))
+          .write.mode("overwrite").parquet(s"$dir/dim_customers")),
+        Future(Medallion.dimPart(Tables.part(spark, sfDir))
+          .write.mode("overwrite").parquet(s"$dir/dim_products")),
+        Future(Medallion.dimDate(Tables.orders(spark, sfDir))
+          .write.mode("overwrite").parquet(s"$dir/dim_time")))
+      try Await.result(Future.sequence(writes), Duration.Inf)
+      finally { so.unpersist(); sl.unpersist() }
     }
 
   def silverOrders(spark: SparkSession, sfDir: String): DataFrame =

@@ -144,9 +144,13 @@ object PipelineQueries {
     "o35_percentiles" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(
-          expr("percentile(l_extendedprice, 0.5)").as("median_price"),
-          expr("percentile(l_extendedprice, 0.9)").as("p90_price"))
+        // one array-form percentile call, not two scalar calls: exact
+        // percentile buffers every group value, and two calls buffer
+        // (and sort) the group twice for the same answer
+        .agg(expr("percentile(l_extendedprice, array(0.5D, 0.9D))").as("ps"))
+        .select(col("l_returnflag"),
+          col("ps").getItem(0).as("median_price"),
+          col("ps").getItem(1).as("p90_price"))
         .orderBy("l_returnflag")),
 
     // KMV sketch aggregator (rows-only: approximate by design): distinct
@@ -169,7 +173,77 @@ object PipelineQueries {
           Seq("l_orderkey", "l_linenumber"), "left_anti")
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("cnt"))
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // running cumulative revenue per state (window FRAME coverage: ROWS
+    // UNBOUNDED PRECEDING..CURRENT ROW over a partitioned, ordered
+    // monthly series; the frame input is the pre-aggregated monthly grain
+    // so the window shuffles |states|×|months| rows, never fact rows)
+    "o38_running_total" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val monthly = Gold.fact(s, d)
+        .join(Gold.dimCustomer(s, d)
+          .select(col("c_custkey"), col("customer_state")),
+          col("customer_id") === col("c_custkey"))
+        .groupBy(col("customer_state"),
+          date_format(col("order_purchase_timestamp"), "yyyy-MM").as("month"))
+        .agg(sum(col("price").cast("decimal(18,4)")).as("rev"))
+      monthly
+        .withColumn("cum_revenue", sum(col("rev")).over(
+          Window.partitionBy(col("customer_state")).orderBy(col("month"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("customer_state"), col("month"),
+          round(col("rev"), 2).cast("double").as("revenue"),
+          round(col("cum_revenue"), 2).cast("double").as("cum_revenue"))
+        .orderBy("customer_state", "month")
+    }),
+
+    // month-over-month revenue delta (LAG over the ordered monthly
+    // series — 79 rows post-aggregation, so the single-partition window
+    // is a non-issue; the aggregation below it is the distributed part)
+    "o39_mom_delta" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val monthly = Gold.fact(s, d)
+        .groupBy(date_format(col("order_purchase_timestamp"), "yyyy-MM").as("month"))
+        .agg(sum(col("price").cast("decimal(18,4)")).as("rev"))
+      monthly
+        .withColumn("prev_rev", lag(col("rev"), 1).over(Window.orderBy(col("month"))))
+        .select(col("month"),
+          round(col("rev"), 2).cast("double").as("revenue"),
+          round(col("prev_rev"), 2).cast("double").as("prev_revenue"),
+          round(col("rev") - col("prev_rev"), 2).cast("double").as("mom_delta"))
+        .orderBy("month")
+    }),
+
+    // skew-safe two-level salted aggregation (Skew.saltedSum): content-
+    // derived salt spreads a hot GROUP BY key over `salts` reducers;
+    // result must equal the plain single-level GROUP BY the oracle runs.
+    // Decimal input makes both levels' sums order-free exact.
+    "o40_salted_agg" -> ((s, d) =>
+      Skew.saltedSum(
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_quantity").cast("decimal(18,4)").as("qty")),
+        "l_returnflag", "qty", salts = 8)
+        .select(col("l_returnflag"),
+          round(col("sum_qty"), 2).cast("double").as("sum_qty"))
+        .orderBy("l_returnflag")),
+
+    // CUBE + GROUPING flags (rollup's sibling, one shuffle with grouping-
+    // id expansion): explicit NULLS LAST on both engines — Spark defaults
+    // ASC to NULLS FIRST, DuckDB to NULLS LAST, and the subtotal rows'
+    // null keys would otherwise sort differently. Quantity sums run in
+    // DECIMAL(18,4) for order-free cross-engine exactness.
+    "o37_cube" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          round(sum(col("l_quantity").cast("decimal(18,4)")), 2).cast("double")
+            .as("sum_qty"),
+          grouping(col("l_returnflag")).cast("long").as("g_rf"),
+          grouping(col("l_linestatus")).cast("long").as("g_ls"))
+        .orderBy(col("g_rf"), col("g_ls"),
+          col("l_returnflag").asc_nulls_last, col("l_linestatus").asc_nulls_last))
   )
 
   def oracles: Map[String, String] = Map(
@@ -265,6 +339,56 @@ object PipelineQueries {
          |WHERE NOT EXISTS (SELECT 1 FROM fact f
          |                  WHERE f.order_id = l.l_orderkey
          |                    AND f.line_id = l.l_linenumber)
-         |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin
+         |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
+
+    "o38_running_total" ->
+      s"""WITH fact AS (${MedallionQueries.factSql}),
+         |dim AS (
+         |  SELECT c_custkey, n_name AS customer_state
+         |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey),
+         |monthly AS (
+         |  SELECT d.customer_state,
+         |         strftime(f.order_purchase_timestamp, '%Y-%m') AS month,
+         |         SUM(CAST(f.price AS DECIMAL(18,4))) AS rev
+         |  FROM fact f JOIN dim d ON f.customer_id = d.c_custkey
+         |  GROUP BY 1, 2)
+         |SELECT customer_state, month,
+         |       CAST(ROUND(rev, 2) AS DOUBLE) AS revenue,
+         |       CAST(ROUND(SUM(rev) OVER (
+         |              PARTITION BY customer_state ORDER BY month
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         |            AS DOUBLE) AS cum_revenue
+         |FROM monthly ORDER BY customer_state, month""".stripMargin,
+
+    "o39_mom_delta" ->
+      s"""WITH fact AS (${MedallionQueries.factSql}),
+         |monthly AS (
+         |  SELECT strftime(order_purchase_timestamp, '%Y-%m') AS month,
+         |         SUM(CAST(price AS DECIMAL(18,4))) AS rev
+         |  FROM fact GROUP BY 1)
+         |SELECT month,
+         |       CAST(ROUND(rev, 2) AS DOUBLE) AS revenue,
+         |       CAST(ROUND(LAG(rev, 1) OVER (ORDER BY month), 2) AS DOUBLE)
+         |         AS prev_revenue,
+         |       CAST(ROUND(rev - LAG(rev, 1) OVER (ORDER BY month), 2) AS DOUBLE)
+         |         AS mom_delta
+         |FROM monthly ORDER BY month""".stripMargin,
+
+    "o40_salted_agg" ->
+      """SELECT l_returnflag,
+        |       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |         AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "o37_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+        |       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |         AS sum_qty,
+        |       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+        |       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls, l_returnflag ASC NULLS LAST,
+        |         l_linestatus ASC NULLS LAST""".stripMargin
   )
 }

@@ -27,8 +27,9 @@ object SimilarityQueries {
         .orderBy("a", "b")),
 
     // IVF ANN scale path: label = coarse cluster, probe 2 nearest
-    // centroids, exact cosine within probed clusters (rows-only check;
-    // recall vs o23 asserted in SimilaritySpec)
+    // centroids, exact cosine within probed clusters (hash-checked —
+    // the pipeline is deterministic, see the x01 oracle below; recall
+    // vs exact o23 additionally asserted in SimilaritySpec)
     "x01_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(embeddings(s, d), nQueries = 10, k = 5, nprobe = 2)
         .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))),
@@ -70,6 +71,44 @@ object SimilarityQueries {
         |  SELECT q.query_id, e.vec_id AS neighbor_id,
         |         list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS cos
         |  FROM q, embeddings e WHERE e.vec_id != q.query_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY cos DESC, neighbor_id) AS rn
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, cos FROM ranked WHERE rn <= 5
+        |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
+
+    // the full IVF pipeline is deterministic (label clusters, avg
+    // centroids, total-order tie-breaks), so ANN gets a REAL hash-checked
+    // oracle, not a rows-only pass: centroids via zipped unnest + ordered
+    // list rebuild, probe ranking and within-cluster scoring exactly as
+    // Similarity.ivfTopK. Emitted cos values come from member vectors
+    // (never the centroid), so centroid last-ulp drift cannot leak into
+    // the output — it could only flip a probe choice on an exact tie.
+    "x01_ann_ivf" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |expl AS (
+        |  SELECT label, unnest(generate_series(1, len(v))) AS i, unnest(v) AS val FROM e),
+        |cent AS (
+        |  SELECT label, list(cv ORDER BY i) AS centroid
+        |  FROM (SELECT label, i, AVG(val) AS cv FROM expl GROUP BY label, i)
+        |  GROUP BY label),
+        |q AS (
+        |  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |probed AS (
+        |  SELECT query_id, label FROM (
+        |    SELECT q.query_id, c.label,
+        |           row_number() OVER (PARTITION BY q.query_id
+        |             ORDER BY list_cosine_similarity(q.qv, c.centroid) DESC, c.label) AS rn
+        |    FROM q, cent c)
+        |  WHERE rn <= 2),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |         list_cosine_similarity(q.qv, e.v) AS cos
+        |  FROM q JOIN probed p ON q.query_id = p.query_id
+        |  JOIN e ON e.label = p.label
+        |  WHERE e.vec_id != q.query_id),
         |ranked AS (
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |                               ORDER BY cos DESC, neighbor_id) AS rn

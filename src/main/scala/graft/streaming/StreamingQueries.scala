@@ -18,6 +18,26 @@ object StreamingQueries {
       Streaming.runAvailableNow(
         Streaming.hourlyAgg(Streaming.eventsStream(s, d)), sink)
         .orderBy("hour")
+    }),
+
+    // streaming exact dedup: the same source unioned with itself doubles
+    // every event; keyed dropDuplicates state collapses them back, so the
+    // downstream aggregate equals the BATCH aggregate over the original
+    // table — which is exactly what the oracle checks. Sums run in
+    // DECIMAL(18,4) for order-free cross-engine exactness.
+    "s02_streaming_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ev = Streaming.eventsStream(s, d)
+      val sink = s"graft_s02_sink_${counter.incrementAndGet()}"
+      Streaming.runAvailableNow(
+        ev.unionByName(ev)
+          .dropDuplicates("event_id")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(col("value").cast("decimal(18,4)")), 2).cast("double")
+              .as("total_value")),
+        sink)
+        .orderBy("event_type")
     })
   )
 
@@ -25,6 +45,12 @@ object StreamingQueries {
     "s01_streaming_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n_events,
         |       ROUND(SUM(value), 2) AS total_value
-        |FROM events GROUP BY 1 ORDER BY hour""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
+
+    "s02_streaming_dedup" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |         AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry-wide physical-plan audit: the scale contracts that hold for
+  * EVERY query (no unbounded cartesian, nested-loop joins only where the
+  * broadcast side is bounded by construction, filters pushed into the
+  * parquet reader, top-k without a global sort) are asserted against the
+  * planned — not executed — physical plans, so a regression in any
+  * single query's plan shape fails CI before it becomes a 100 TB
+  * incident.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Constructions that RUN a pipeline (incremental bronze, streaming
+    * micro-batches) rather than returning a lazy plan — their physics
+    * are audited by their own suites.
+    */
+  private val pipelines = Set(
+    "p01_incremental_runs", "p02_incremental_bronze",
+    "s01_streaming_hourly", "s02_streaming_dedup")
+
+  /** Broadcast nested-loop joins by design: the broadcast side is
+    * bounded by construction (fixed query set / centroid set / sampled
+    * corpus), so the "nested loop" is a per-row loop over a small
+    * in-memory array, not an all-pairs shuffle.
+    */
+  private val bnlAllowed = Set(
+    "o23_knn_cosine", "o30_embedding_neardup", "x01_ann_ivf")
+
+  private lazy val plans: Map[String, String] =
+    SparkEntry.queries.collect {
+      case (name, fn) if !pipelines(name) =>
+        name -> fn(spark, sf).queryExecution.executedPlan.toString
+    }
+
+  test("no registry plan contains an unbounded cartesian product") {
+    val bad = plans.filter(_._2.contains("CartesianProduct")).keys.toSeq.sorted
+    assert(bad.isEmpty, s"cartesian product planned in: ${bad.mkString(", ")}")
+  }
+
+  test("nested-loop joins appear only where the broadcast side is bounded") {
+    val bad = plans.filter { case (n, p) =>
+      p.contains("BroadcastNestedLoopJoin") && !bnlAllowed(n)
+    }.keys.toSeq.sorted
+    assert(bad.isEmpty, s"unexpected BroadcastNestedLoopJoin in: ${bad.mkString(", ")}")
+  }
+
+  test("raw→silver derivation pushes its null filters into the parquet reader") {
+    // the registry's m01 reads the MATERIALIZED silver layer (filters
+    // already applied before the write — correctly nothing left to
+    // push), so pushdown is asserted on the derivation itself
+    val plan = graft.engine.Medallion.silverOrders(
+        graft.engine.Tables.orders(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("IsNotNull"),
+      s"expected IsNotNull in PushedFilters, got:\n$plan")
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    assert(plans("o10_topk").contains("TakeOrderedAndProject"))
+  }
+}
