@@ -134,6 +134,50 @@ object TpchQueries {
         .agg(round(
           lit(100.0) * sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)))
             / sum(rev), 2).as("promo_revenue_pct"))
+    }),
+
+    // Q7 shape: bilateral trade volume — the OR-paired join predicate
+    // ((supp=A AND cust=B) OR (supp=B AND cust=A)) that planners must
+    // keep ABOVE the equi-joins rather than turning into a cartesian;
+    // nation is the fixed 25-row dim, broadcast twice under two aliases
+    "t08_nation_volume" -> ((s, d) => {
+      val supN = nation(s, d).select(
+        col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val cusN = nation(s, d).select(
+        col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      val pair = (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1")
+      lineitem(s, d)
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(supN), col("s_nationkey") === col("s_nk"))
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(cusN), col("c_nationkey") === col("c_nk"))
+        .filter(pair)
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")), 2).cast("double").as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // Q19 shape: disjunctive multi-column predicate (OR of conjunctions
+    // spanning both join sides) — the filter canNOT fully push below the
+    // join, but each disjunct's part-only conjuncts can; grades how the
+    // planner splits a disjunction
+    "t09_disjunctive_filter" -> ((s, d) => {
+      val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")
+      lineitem(s, d)
+        .join(part(s, d).select("p_partkey", "p_brand", "p_size"),
+          col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 20)) ||
+            (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+              col("l_quantity").between(10, 35)))
+        .agg(round(sum(rev), 2).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
     })
   )
 
@@ -224,6 +268,34 @@ object TpchQueries {
         |FROM lineitem l
         |JOIN part p ON l.l_partkey = p.p_partkey
         |WHERE CAST(l.l_shipdate AS TIMESTAMP) >= TIMESTAMP '1996-09-01'
-        |  AND CAST(l.l_shipdate AS TIMESTAMP) < TIMESTAMP '1996-10-01'""".stripMargin
+        |  AND CAST(l.l_shipdate AS TIMESTAMP) < TIMESTAMP '1996-10-01'""".stripMargin,
+
+    "t08_nation_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |       CAST(EXTRACT(year FROM CAST(l.l_shipdate AS TIMESTAMP)) AS BIGINT)
+        |         AS l_year,
+        |       CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |                          AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        |   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+        |GROUP BY sn.n_name, cn.n_name, 3
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "t09_disjunctive_filter" ->
+      """SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |                          AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+        |       AND l.l_quantity BETWEEN 1 AND 20)
+        |   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+        |       AND l.l_quantity BETWEEN 10 AND 35)""".stripMargin
   )
 }
