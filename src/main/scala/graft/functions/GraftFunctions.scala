@@ -21,20 +21,23 @@ object GraftFunctions {
       s"$what must be an integer literal, got $other")
   }
 
-  def register(spark: SparkSession): Unit = {
-    Bridge.registerFunction(spark, "simhash64",
-      args => SimHash64Expr(args.head))
-    Bridge.registerFunction(spark, "simhash_portable64",
-      args => SimHashPortable64Expr(args.head))
-    Bridge.registerFunction(spark, "minhash",
-      args => MinHashExpr(args.head,
-        if (args.length > 1) intArg(args(1), "k") else 32,
-        if (args.length > 2) intArg(args(2), "shingleWidth") else 3))
-    Bridge.registerFunction(spark, "doc_fingerprint",
-      args => BottomKFingerprintExpr(args.head,
-        if (args.length > 1) intArg(args(1), "k") else 8,
-        if (args.length > 2) intArg(args(2), "shingleWidth") else 3))
-    Bridge.registerFunction(spark, "dot_product",
-      args => DotProductExpr(args(0), args(1)))
-  }
+  /** Name → expression builder for every kernel function, shared by the
+    * live-session path ([[register]]) and the `spark.sql.extensions`
+    * path ([[GraftSparkExtensions]]).
+    */
+  val injections: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "simhash64" -> ((args: Seq[Expression]) => SimHash64Expr(args.head)),
+    "simhash_portable64" -> ((args: Seq[Expression]) => SimHashPortable64Expr(args.head)),
+    "minhash" -> ((args: Seq[Expression]) => MinHashExpr(args.head,
+      if (args.length > 1) intArg(args(1), "k") else 32,
+      if (args.length > 2) intArg(args(2), "shingleWidth") else 3)),
+    "doc_fingerprint" -> ((args: Seq[Expression]) => BottomKFingerprintExpr(args.head,
+      if (args.length > 1) intArg(args(1), "k") else 8,
+      if (args.length > 2) intArg(args(2), "shingleWidth") else 3)),
+    "dot_product" -> ((args: Seq[Expression]) => DotProductExpr(args(0), args(1))))
+
+  def register(spark: SparkSession): Unit =
+    injections.foreach { case (name, builder) =>
+      Bridge.registerFunction(spark, name, builder)
+    }
 }

@@ -22,6 +22,28 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(row.getAs[Double]("d") == 11.0)
   }
 
+  test("GraftSparkExtensions injects every kernel into a fresh extensions set") {
+    // the spark.sql.extensions entry point shares its builder list with
+    // the live-session register(), so a builder smoke plus a successful
+    // injectFunction pass covers the wiring; end-to-end SQL behavior of
+    // the kernels themselves is asserted above
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftSparkExtensions().apply(ext) // must not throw
+    assert(GraftFunctions.injections.map(_._1).sorted == Seq(
+      "doc_fingerprint", "dot_product", "minhash", "simhash64", "simhash_portable64"))
+    // each builder constructs a well-typed expression from dummy args
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val textArg = Literal(UTF8String.fromString("abc"),
+      org.apache.spark.sql.types.StringType)
+    val arrArg = Literal.create(Array(1.0, 2.0),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
+    GraftFunctions.injections.foreach { case (name, builder) =>
+      val e = if (name == "dot_product") builder(Seq(arrArg, arrArg))
+              else builder(Seq(textArg))
+      assert(e.resolved, s"$name builder must yield a resolved expression")
+    }
+  }
+
   test("dot_product widens float arrays via implicit cast instead of mis-reading them") {
     import spark.implicits._
     GraftFunctions.register(spark)
