@@ -62,10 +62,14 @@ object Bench {
     // the min is the plan cost
     val results = names.map { n => n -> math.min(timeOne(n), timeOne(n)) }
     // The driver keeps only the last ~2000 chars of sbt output, so the
-    // stdout JSON line must fit that window in full: times rounded to
-    // 3 decimals, error detail only in bench_out.json (n_errors inline).
-    def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => Json.quote(k) + ":" + r3(v) }
+    // stdout JSON line must fit that window in full: per-query times at
+    // 2 decimals (72 queries × ~27 chars must leave real headroom —
+    // full precision lives in bench_out.json), totals at 3, error detail
+    // only in bench_out.json (n_errors inline).
+    def rnd(v: Double, s: Int): String =
+      BigDecimal(v).setScale(s, BigDecimal.RoundingMode.HALF_UP).toString
+    def r3(v: Double): String = rnd(v, 3)
+    val qs = results.map { case (k, v) => Json.quote(k) + ":" + rnd(v, 2) }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => Json.quote(k) + ":" + Json.quote(v) }
       .mkString("{", ",", "}")
