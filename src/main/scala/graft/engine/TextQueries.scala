@@ -58,6 +58,34 @@ object TextQueries {
         .orderBy(col("cnt").desc, col("term"))
         .limit(20)),
 
+    // TF-IDF top-3 terms per doc (docs 0-29): tf filtered to the probe
+    // docs EARLY (at 100 TB only probe-doc tokens shuffle into tf), df
+    // over the FULL corpus, corpus size joined as a 1-row broadcast
+    // scalar, ln((N+1)/(df+1)) smoothing rounded to 6 decimals so a
+    // last-ulp libm difference cannot flip the hash; ranking uses the
+    // rounded score with a term tie-break on both engines
+    "o41_tfidf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = documents(s, d)
+      val tok = docs.select(col("doc_id"), explode(toks).as("term"))
+      val tf = tok.filter(col("doc_id") < 30)
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = tok.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(df, "term")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("tfidf", round(col("tf") *
+          log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))), 6))
+      scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("tfidf").desc, col("term"))))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
+        .orderBy(col("doc_id"), col("tfidf").desc, col("term"))
+    }),
+
     // n-gram/stopword language-ID heuristic vs the labeled lang column
     "o28_lang_id" -> ((s, d) => {
       val enRatio = size(filter(toks, t => t.isin(stopwords: _*))).cast("double") /
@@ -111,6 +139,24 @@ object TextQueries {
          |                 CAST(len(t) AS DOUBLE) >= 0.05
          |            THEN 'en' ELSE 'und' END AS guess,
          |       COUNT(*) AS n_docs
-         |FROM toks GROUP BY 1, 2 ORDER BY lang, guess""".stripMargin
+         |FROM toks GROUP BY 1, 2 ORDER BY lang, guess""".stripMargin,
+
+    "o41_tfidf" ->
+      s"""WITH $toksCte,
+         |tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf
+         |       FROM tok WHERE doc_id < 30 GROUP BY 1, 2),
+         |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         |         ROUND(tf.tf * LN((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+         |  FROM tf JOIN df USING (term) CROSS JOIN n),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |                               ORDER BY tfidf DESC, term) AS rn
+         |  FROM scored)
+         |SELECT doc_id, term, tf, df, tfidf FROM ranked WHERE rn <= 3
+         |ORDER BY doc_id, tfidf DESC, term""".stripMargin
   )
 }

@@ -28,7 +28,8 @@ class PlanAuditSpec extends AnyFunSuite {
     * in-memory array, not an all-pairs shuffle.
     */
   private val bnlAllowed = Set(
-    "o23_knn_cosine", "o30_embedding_neardup", "x01_ann_ivf")
+    "o23_knn_cosine", "o30_embedding_neardup", "x01_ann_ivf",
+    "o41_tfidf") // 1-row corpus-size scalar joined via broadcast
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.collect {
