@@ -20,6 +20,25 @@ class SkewSpec extends AnyFunSuite {
     assert(salted.size == 1001)
   }
 
+  test("saltedSum equals plain grouped sum on random skewed decimal data") {
+    import org.apache.spark.sql.functions.{col, sum}
+    for (seed <- 0 until 3) {
+      val rnd = new scala.util.Random(seed)
+      val rows = Seq.fill(500)((s"k${rnd.nextInt(5)}", rnd.nextInt(100000) / 100.0)) ++
+        Seq.fill(500)(("hot", 1.5)) // hot key
+      val df = rows.toDF("key", "v")
+        .withColumn("v", col("v").cast("decimal(18,4)"))
+      val plain = df.groupBy("key").agg(sum(col("v")).as("s"))
+        .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
+      val salted = Skew.saltedSum(df, "key", "v", salts = 7)
+        .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
+      assert(salted.keySet == plain.keySet, s"seed=$seed")
+      salted.foreach { case (k, v) =>
+        assert(v.compareTo(plain(k)) == 0, s"seed=$seed key=$k $v != ${plain(k)}")
+      }
+    }
+  }
+
   test("saltedJoin equals plain join") {
     val dim = Seq(("hot", "H"), ("k9001", "A"), ("k9500", "B")).toDF("key", "name")
     val plain = skewed.join(dim, "key").groupBy("key").count()
