@@ -63,4 +63,16 @@ class PlanAuditSpec extends AnyFunSuite {
   test("top-k plans as TakeOrderedAndProject, not a global sort") {
     assert(plans("o10_topk").contains("TakeOrderedAndProject"))
   }
+
+  test("month predicates on the gold fact prune partitions, not just rows") {
+    import org.apache.spark.sql.functions.col
+    val factDir = s"${graft.engine.Gold.ensure(spark, sf)}/fact_sales"
+    val plan = spark.read.parquet(factDir)
+      .filter(col("order_month") === "1996-01")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("order_month"),
+      s"expected order_month in PartitionFilters, got:\n$plan")
+  }
 }
