@@ -48,19 +48,29 @@ object Bench {
     // a failing query is REPORTED, never silently recorded as a fast
     // near-zero time — a bench that hides failures isn't a measurement
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    def timeOne(n: String): Double = {
+    def timeOne(n: String): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try materialize(n) catch {
+      try { materialize(n); Right((System.nanoTime() - t0) / 1e9) }
+      catch {
         case e: Throwable =>
-          errors(n) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
       }
-      (System.nanoTime() - t0) / 1e9
     }
     // min of two timed passes per query: a single pass attributes GC
     // pauses and JIT recompiles to whichever query they land on (observed
     // as 4× spikes on queries whose identical-shape siblings run in 1 s);
-    // the min is the plan cost
-    val results = names.map { n => n -> math.min(timeOne(n), timeOne(n)) }
+    // the min is the plan cost. The min is taken over SUCCESSFUL passes
+    // only, and a query is an error only when BOTH passes fail — a
+    // transient single-pass failure must not report a fast-fail duration
+    // as the query's time, nor a succeeded query as an error.
+    val results: Seq[(String, Option[Double])] = names.map { n =>
+      val passes = Seq(timeOne(n), timeOne(n))
+      val ok = passes.collect { case Right(t) => t }
+      if (ok.isEmpty) {
+        errors(n) = passes.head.left.getOrElse("unknown")
+        n -> None
+      } else n -> Some(ok.min)
+    }
     // The driver keeps only the last ~2000 chars of sbt output, so the
     // stdout JSON line must fit that window in full: per-query times at
     // 2 decimals (72 queries × ~27 chars must leave real headroom —
@@ -69,15 +79,16 @@ object Bench {
     def rnd(v: Double, s: Int): String =
       BigDecimal(v).setScale(s, BigDecimal.RoundingMode.HALF_UP).toString
     def r3(v: Double): String = rnd(v, 3)
-    val qs = results.map { case (k, v) => Json.quote(k) + ":" + rnd(v, 2) }
+    val timed = results.collect { case (n, Some(t)) => n -> t }
+    val qs = timed.map { case (k, v) => Json.quote(k) + ":" + rnd(v, 2) }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => Json.quote(k) + ":" + Json.quote(v) }
       .mkString("{", ",", "}")
-    val total = results.collect { case (n, v) if !errors.contains(n) => v }.sum
+    val total = timed.map(_._2).sum
     val json =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"setup_sec":${r3(setupSec)},"n_errors":${errors.size},"sf":${Json.quote(sfDir)}}"""
     Files.writeString(Paths.get("bench_out.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${results.map { case (k, v) => Json.quote(k) + ":" + v }.mkString("{", ",", "}")},"setup_sec":$setupSec,"n_errors":${errors.size},"errors":$errJson,"sf":${Json.quote(sfDir)}}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${timed.map { case (k, v) => Json.quote(k) + ":" + v }.mkString("{", ",", "}")},"setup_sec":$setupSec,"n_errors":${errors.size},"errors":$errJson,"sf":${Json.quote(sfDir)}}""")
     if (errors.nonEmpty)
       System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()

@@ -10,9 +10,11 @@ import org.apache.spark.sql.types._
   */
 object Catalog {
 
-  /** Does a (parquet-dir or single-file) table exist under sfDir? */
-  def tableExists(sfDir: String, name: String): Boolean =
-    new java.io.File(s"$sfDir/$name.parquet").exists()
+  /** Does a (parquet-dir or single-file) table exist under sfDir? Probed
+    * via Hadoop FileSystem so the check works on HDFS/S3 paths too.
+    */
+  def tableExists(spark: SparkSession, sfDir: String, name: String): Boolean =
+    Workdirs.exists(spark, s"$sfDir/$name.parquet")
 
   /** Registered-view existence (the temp-view flavor of S13). */
   def viewExists(spark: SparkSession, name: String): Boolean =

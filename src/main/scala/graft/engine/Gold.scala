@@ -14,10 +14,18 @@ import org.apache.spark.sql.functions._
   * once per query. The fact is partitioned by `order_month`
   * (reference landing zone `scripts/esplosione_dati.py:135-154`), so any
   * query filtering on month gets partition pruning; `repartition` by the
-  * partition column before the write keeps one file per month instead of
-  * (tasks × months) small files.
+  * partition column + a bounded hash salt before the write keeps file
+  * count at ≤[[writeFanout]] per month (instead of tasks × months) while
+  * still writing each month from multiple tasks in parallel.
   */
 object Gold {
+
+  /** Write-side fan-out per hive partition: each partition value lands in
+    * up to this many tasks/files. Sized small here (local[32], sf≤0.1);
+    * on a real cluster size it to executor-count / distinct-partitions so
+    * the hottest partition saturates the cluster without file explosion.
+    */
+  val writeFanout = 4
 
   /** Write silver + gold parquet for sfDir if this JVM hasn't yet; returns
     * the layer root (under the build dir, never the read-only testdata).
@@ -50,7 +58,13 @@ object Gold {
         Future(so.write.mode("overwrite").parquet(s"$dir/silver_orders")),
         Future(sl.write.mode("overwrite").parquet(s"$dir/silver_lineitem")),
         Future(fact
-          .repartition(col("order_month"))
+          // month + bounded salt: pure repartition(month) serializes each
+          // month through ONE task — at 100 TB a hot month is a write
+          // bottleneck. Hash-salting on the row key fans every month
+          // across up to `writeFanout` tasks while keeping file count
+          // bounded at fanout-per-month (vs tasks×months unsalted).
+          .repartition(col("order_month"),
+            pmod(hash(col("order_id")), lit(writeFanout)))
           .write.mode("overwrite").partitionBy("order_month")
           .parquet(s"$dir/fact_sales")),
         Future(Medallion.dimCustomer(
@@ -61,8 +75,16 @@ object Gold {
           .write.mode("overwrite").parquet(s"$dir/dim_products")),
         Future(Medallion.dimDate(Tables.orders(spark, sfDir))
           .write.mode("overwrite").parquet(s"$dir/dim_time")))
-      try Await.result(Future.sequence(writes), Duration.Inf)
-      finally { so.unpersist(); sl.unpersist() }
+      // settle ALL futures before propagating a failure: rethrowing on
+      // the first error while sibling writes are still running would let
+      // a retry start a second overwrite of the same paths concurrently
+      // with the stragglers of the failed attempt
+      val settled = writes.map(_.map(_ => Option.empty[Throwable])
+        .recover { case e => Some(e) })
+      try {
+        val outcomes = Await.result(Future.sequence(settled), Duration.Inf)
+        outcomes.flatten.headOption.foreach(e => throw e)
+      } finally { so.unpersist(); sl.unpersist() }
     }
 
   def silverOrders(spark: SparkSession, sfDir: String): DataFrame =

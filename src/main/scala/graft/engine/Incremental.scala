@@ -31,9 +31,24 @@ import scala.util.Try
   */
 object Incremental {
 
+  /** Tech-log row — mirrors the reference's `tech.tech_processed_files`
+    * schema (`scripts/bronze_incremental.py:113-123`: file_name,
+    * fingerprint, processed_at TIMESTAMP, BIGINT counters, status, note).
+    * `processed_at` is derived from the RUN ORDINAL (logEpoch + n hours),
+    * not wall clock, so reruns are bit-deterministic for the oracle while
+    * still recording which run touched each file.
+    */
   final case class LogEntry(file_name: String, fingerprint: String,
+                            processed_at: java.sql.Timestamp,
                             status: String, rows_orders: Long,
                             rows_items: Long, note: String)
+
+  /** 2024-01-01T00:00:00Z; run N stamps its entries logEpoch + N hours. */
+  private val logEpochMs = 1704067200000L
+
+  private def nextRunTs(prior: Iterable[LogEntry]): java.sql.Timestamp =
+    new java.sql.Timestamp(
+      (prior.map(_.processed_at.getTime) ++ Seq(logEpochMs)).max + 3600000L)
 
   private def techLogPath(bronzeRoot: String) = s"$bronzeRoot/tech/processed_files"
 
@@ -43,7 +58,7 @@ object Incremental {
     */
   def readTechLog(spark: SparkSession, bronzeRoot: String): Seq[LogEntry] = {
     import spark.implicits._
-    if (!new java.io.File(techLogPath(bronzeRoot)).exists()) Nil
+    if (!Workdirs.exists(spark, techLogPath(bronzeRoot))) Nil
     else spark.read.parquet(techLogPath(bronzeRoot)).as[LogEntry].collect().toSeq
   }
 
@@ -71,14 +86,16 @@ object Incremental {
   }
 
   private def readIfExists(spark: SparkSession, path: String): Option[DataFrame] =
-    if (new java.io.File(path).exists()) Some(spark.read.parquet(path)) else None
+    if (Workdirs.exists(spark, path)) Some(spark.read.parquet(path)) else None
 
   /** One incremental run over a landing zone. Returns this run's log
     * entries (the full upserted log is persisted at `bronzeRoot/tech`).
     */
   def run(spark: SparkSession, landingRoot: String, bronzeRoot: String): Seq[LogEntry] = {
     val manifest = Landing.readManifest(spark, landingRoot)
-    val prior = readTechLog(spark, bronzeRoot).map(e => e.file_name -> e).toMap
+    val priorLog = readTechLog(spark, bronzeRoot)
+    val prior = priorLog.map(e => e.file_name -> e).toMap
+    val runTs = nextRunTs(priorLog)
     val ordersDir = s"$bronzeRoot/orders"
     val itemsDir = s"$bronzeRoot/lineitem"
 
@@ -102,7 +119,8 @@ object Incremental {
 
     val orderEntries = manifest.filter(_.file.startsWith("orders_")).sortBy(_.file).map { f =>
       if (processed(f))
-        journal(LogEntry(f.file, f.fingerprint, "SKIP", 0L, 0L, "SKIP: unchanged"))
+        journal(LogEntry(f.file, f.fingerprint, runTs, "SKIP", 0L, 0L,
+          "SKIP: unchanged"))
       else {
         val period = f.file.stripPrefix("orders_")
         val incoming = spark.read.parquet(s"$landingRoot/orders/period=$period")
@@ -155,21 +173,23 @@ object Incremental {
         if (nItems > 0)
           newItems.write.mode("append").partitionBy("period").parquet(itemsDir)
         newOrders.write.mode("append").parquet(ordersDir)
-        Workdirs.deleteRecursively(new java.io.File(stage)) // transient
-        journal(LogEntry(f.file, f.fingerprint, "OK", nOrders, nItems,
+        Workdirs.delete(spark, stage) // transient
+        journal(LogEntry(f.file, f.fingerprint, runTs, "OK", nOrders, nItems,
           s"OK: inserted $nOrders"))
       }
     }
 
     val dimEntries = manifest.filter(_.file.endsWith("_full")).sortBy(_.file).map { f =>
       if (processed(f))
-        journal(LogEntry(f.file, f.fingerprint, "SKIP", 0L, 0L, "SKIP: unchanged"))
+        journal(LogEntry(f.file, f.fingerprint, runTs, "SKIP", 0L, 0L,
+          "SKIP: unchanged"))
       else {
         val name = f.file.stripSuffix("_full")
         val df = spark.read.parquet(s"$landingRoot/$name")
         val n = df.count()
         df.write.mode("overwrite").parquet(s"$bronzeRoot/$name") // full REPLACE
-        journal(LogEntry(f.file, f.fingerprint, "OK", n, 0L, s"OK: replaced $n"))
+        journal(LogEntry(f.file, f.fingerprint, runTs, "OK", n, 0L,
+          s"OK: replaced $n"))
       }
     }
 

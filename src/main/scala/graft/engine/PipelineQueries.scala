@@ -29,13 +29,16 @@ object PipelineQueries {
       val note2 = Incremental.readTechLog(spark, bronze)
         .map(e => e.file_name -> e.note).toMap
       import spark.implicits._
-      val summary = run1.map(e => (e.file_name, e.status, e.rows_orders, e.rows_items))
-        .toDF("file_name", "run1_status", "run1_orders", "run1_items")
+      val summary = run1.map(e =>
+          (e.file_name, e.status, e.rows_orders, e.rows_items, e.processed_at))
+        .toDF("file_name", "run1_status", "run1_orders", "run1_items", "run1_at")
         .join(
           run2.map(e => (e.file_name, e.status, e.rows_orders, e.rows_items,
+            e.processed_at,
             note2.getOrElse(e.file_name,
               sys.error(s"tech log lost entry for ${e.file_name}"))))
-            .toDF("file_name", "run2_status", "run2_orders", "run2_items", "run2_note"),
+            .toDF("file_name", "run2_status", "run2_orders", "run2_items",
+              "run2_at", "run2_note"),
           "file_name")
       summary.coalesce(1).write.mode("overwrite").parquet(s"$root/summary")
     }
@@ -258,15 +261,20 @@ object PipelineQueries {
         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey GROUP BY 1)
         |SELECT ord.file_name, 'OK' AS run1_status, ord.n_orders AS run1_orders,
         |       COALESCE(it.n_items, 0) AS run1_items,
+        |       TIMESTAMP '2024-01-01 01:00:00' AS run1_at,
         |       'SKIP' AS run2_status, CAST(0 AS BIGINT) AS run2_orders,
-        |       CAST(0 AS BIGINT) AS run2_items, 'unchanged' AS run2_note
+        |       CAST(0 AS BIGINT) AS run2_items,
+        |       TIMESTAMP '2024-01-01 02:00:00' AS run2_at,
+        |       'unchanged' AS run2_note
         |FROM ord LEFT JOIN it USING (file_name)
         |UNION ALL
         |SELECT 'customer_full', 'OK', (SELECT COUNT(*) FROM customer), 0,
-        |       'SKIP', 0, 0, 'unchanged'
+        |       TIMESTAMP '2024-01-01 01:00:00',
+        |       'SKIP', 0, 0, TIMESTAMP '2024-01-01 02:00:00', 'unchanged'
         |UNION ALL
         |SELECT 'part_full', 'OK', (SELECT COUNT(*) FROM part), 0,
-        |       'SKIP', 0, 0, 'unchanged'
+        |       TIMESTAMP '2024-01-01 01:00:00',
+        |       'SKIP', 0, 0, TIMESTAMP '2024-01-01 02:00:00', 'unchanged'
         |ORDER BY file_name""".stripMargin,
 
     "p02_incremental_bronze" ->

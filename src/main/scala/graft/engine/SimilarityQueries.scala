@@ -30,8 +30,13 @@ object SimilarityQueries {
     // centroids, exact cosine within probed clusters (hash-checked —
     // the pipeline is deterministic, see the x01 oracle below; recall
     // vs exact o23 additionally asserted in SimilaritySpec)
+    // cos rounded to 6 decimals on BOTH engines (as o41 does): the hash
+    // check must not depend on bit-for-bit libm agreement between
+    // VectorOps.cosine and DuckDB list_cosine_similarity — ranking and
+    // the top-k cut still use the unrounded value inside ivfTopK
     "x01_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(embeddings(s, d), nQueries = 10, k = 5, nprobe = 2)
+        .withColumn("cos", round(col("cos"), 6))
         .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))),
 
     // multimodal: binary media column + typed metadata → partition-local
@@ -113,7 +118,8 @@ object SimilarityQueries {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |                               ORDER BY cos DESC, neighbor_id) AS rn
         |  FROM scored)
-        |SELECT query_id, neighbor_id, cos FROM ranked WHERE rn <= 5
-        |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin
+        |SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos
+        |FROM ranked WHERE rn <= 5
+        |ORDER BY query_id, ROUND(cos, 6) DESC, neighbor_id""".stripMargin
   )
 }

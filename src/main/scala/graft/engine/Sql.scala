@@ -13,18 +13,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Sql {
 
+  // last-registered sfDir per live session: a long-lived SQL surface
+  // registers its views once, not once per statement (re-registration
+  // re-resolves four parquet scans each call — measurable in the bench).
+  // Keyed weakly by the session so a stopped session doesn't pin state;
+  // a DIFFERENT sfDir on the same session re-registers and wins.
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+
   /** Register the gold star schema as temp views over the MATERIALIZED
     * layer (Gold.ensure) — each view is a parquet scan of the written
     * star schema, so repeated SQL statements re-read gold, they don't
-    * re-derive it from base tables.
+    * re-derive it from base tables. Idempotent and memoized per
+    * (session, sfDir).
     */
-  def registerGold(spark: SparkSession, sfDir: String): Unit = {
-    graft.functions.GraftFunctions.register(spark) // kernel SQL functions
-    Gold.fact(spark, sfDir).createOrReplaceTempView("fact_sales")
-    Gold.dimCustomer(spark, sfDir).createOrReplaceTempView("dim_customers")
-    Gold.dimPart(spark, sfDir).createOrReplaceTempView("dim_products")
-    Gold.dimDate(spark, sfDir).createOrReplaceTempView("dim_time")
-  }
+  def registerGold(spark: SparkSession, sfDir: String): Unit =
+    if (registered.get(spark) != sfDir) {
+      graft.functions.GraftFunctions.register(spark) // kernel SQL functions
+      Gold.fact(spark, sfDir).createOrReplaceTempView("fact_sales")
+      Gold.dimCustomer(spark, sfDir).createOrReplaceTempView("dim_customers")
+      Gold.dimPart(spark, sfDir).createOrReplaceTempView("dim_products")
+      Gold.dimDate(spark, sfDir).createOrReplaceTempView("dim_time")
+      registered.put(spark, sfDir): Unit
+    }
 
   /** Sanitize LLM-generated SQL (reference `dashboard/ai_utils.py:49-66`,
     * hardened): prefer the first complete ```-fenced block containing a

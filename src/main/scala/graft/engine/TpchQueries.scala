@@ -96,8 +96,11 @@ object TpchQueries {
           col("l_suppkey") === col("s_suppkey") &&
             col("s_nationkey") === col("c_nationkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"))
+        // per-row DECIMAL(18,4) before SUM (as t06-t09): decimal addition
+        // is exact and order-free, so Spark's partial-agg order can't flip
+        // the 2-decimal round vs the oracle at larger SF
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")), 2).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
@@ -231,7 +234,8 @@ object TpchQueries {
 
     "t05_local_supplier_volume" ->
       """SELECT n.n_name,
-        |       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        |       CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |                          AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
         |FROM customer c
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |JOIN region r ON n.n_regionkey = r.r_regionkey

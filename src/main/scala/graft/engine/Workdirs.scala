@@ -1,10 +1,30 @@
 package graft.engine
 
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
 /** Shared once-per-JVM work-directory materialization: one sanitizer and
   * one memoize map instead of a copy per module (Gold layers, the
   * incremental demo, CSV staging, the streaming source dir all use it).
+  *
+  * Filesystem probes go through the Hadoop [[org.apache.hadoop.fs
+  * .FileSystem]] API, never `java.io.File` — paths here are local in the
+  * sandbox but HDFS/S3/GCS on a real cluster, and `java.io.File` silently
+  * answers "missing" for every non-local URI.
   */
 object Workdirs {
+
+  /** Does `path` exist on whatever filesystem its scheme names? */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** Recursive delete on the path's own filesystem; no-op when absent. */
+  def delete(spark: SparkSession, path: String): Unit = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true): Unit
+  }
 
   private val done = new java.util.concurrent.ConcurrentHashMap[String, String]()
 

@@ -25,8 +25,8 @@ class CatalogSpec extends AnyFunSuite {
   }
 
   test("tableExists probes the sfDir layout; viewExists probes the catalog") {
-    assert(Catalog.tableExists("/root/testdata/sf0.001", "orders"))
-    assert(!Catalog.tableExists("/root/testdata/sf0.001", "nonexistent"))
+    assert(Catalog.tableExists(spark, "/root/testdata/sf0.001", "orders"))
+    assert(!Catalog.tableExists(spark, "/root/testdata/sf0.001", "nonexistent"))
     TestSpark.spark.range(1).createOrReplaceTempView("catalog_spec_view")
     assert(Catalog.viewExists(spark, "catalog_spec_view"))
     assert(!Catalog.viewExists(spark, "catalog_spec_missing"))
