@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession, types}
 import org.apache.spark.sql.functions._
 
 /** Driver-contract registry for the Phase-2 incremental pipeline, CSV
@@ -19,7 +19,7 @@ object PipelineQueries {
     */
   def ensureDemo(spark: SparkSession, sfDir: String): String =
     Workdirs.materializeOnce("graft-incremental", sfDir) { root =>
-      Workdirs.deleteRecursively(new java.io.File(root))
+      Workdirs.delete(spark, root)
       val landing = s"$root/landing"
       val bronze = s"$root/bronze"
       Landing.explode(spark, sfDir, landing, periodFmt = "yyyy")
@@ -70,6 +70,32 @@ object PipelineQueries {
     "p03_csv_roundtrip" -> ((s, d) => {
       val csvDir = ensureCsv(s, d)
       Sources.csv(s, csvDir, Tables.orders(s, d).schema).orderBy("o_orderkey")
+    }),
+
+    // S1 proper: the schema-INFERRED scan of the same CSV. The query
+    // fails loudly if inference degrades a numeric/temporal column to
+    // string (the cast-to-base-schema below would silently repair that,
+    // so it must be guarded, not masked); the oracle then hash-checks
+    // that the inferred read reproduces the base table's values exactly.
+    "p05_csv_inferred" -> ((s, d) => {
+      val csvDir = ensureCsv(s, d)
+      val inferred = Sources.csvInferred(s, csvDir)
+      val base = Tables.orders(s, d).schema
+      base.foreach { f =>
+        val got = inferred.schema(f.name).dataType
+        val ok = (f.dataType, got) match {
+          case (_: types.NumericType, g) => g.isInstanceOf[types.NumericType]
+          // either timestamp flavor counts as "inferred temporal" — NTZ vs
+          // LTZ depends on session conf, and the cast below normalizes it
+          case (types.TimestampType | types.TimestampNTZType, g) =>
+            g == types.TimestampType || g == types.TimestampNTZType
+          case (e, g) => e == g
+        }
+        require(ok, s"inference degraded ${f.name}: expected ${f.dataType}, got $got")
+      }
+      inferred
+        .select(base.fields.map(f => col(f.name).cast(f.dataType)).toIndexedSeq: _*)
+        .orderBy("o_orderkey")
     }),
 
     // S13/S14: DESCRIBE as a relational result
@@ -151,6 +177,22 @@ object PipelineQueries {
         // percentile buffers every group value, and two calls buffer
         // (and sort) the group twice for the same answer
         .agg(expr("percentile(l_extendedprice, array(0.5D, 0.9D))").as("ps"))
+        .select(col("l_returnflag"),
+          col("ps").getItem(0).as("median_price"),
+          col("ps").getItem(1).as("p90_price"))
+        .orderBy("l_returnflag")),
+
+    // the SCALE-SAFE percentile twin: approx_percentile keeps a bounded
+    // mergeable quantile sketch per group (Greenwald-Khanna summaries —
+    // memory is O(accuracy), never O(group size)), so it survives groups
+    // that would OOM the exact per-group value buffer at 100 TB.
+    // Rows-only like x03 (the sketch's answer is engine-specific); its
+    // error vs exact o35 is bounded and asserted in PercentileSpec.
+    "x04_approx_percentiles" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("approx_percentile(l_extendedprice, array(0.5D, 0.9D), 10000)")
+          .as("ps"))
         .select(col("l_returnflag"),
           col("ps").getItem(0).as("median_price"),
           col("ps").getItem(1).as("p90_price"))
@@ -281,6 +323,12 @@ object PipelineQueries {
       """SELECT * FROM orders ORDER BY o_orderkey""",
 
     "p03_csv_roundtrip" ->
+      """SELECT * FROM orders ORDER BY o_orderkey""",
+
+    // same target as p03 on purpose: both round trips must converge on
+    // the base table, p03 through an explicit schema, p05 through
+    // inference (the inference itself is guarded inside the query)
+    "p05_csv_inferred" ->
       """SELECT * FROM orders ORDER BY o_orderkey""",
 
     "p04_describe" ->

@@ -40,8 +40,13 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))),
 
     // multimodal: binary media column + typed metadata → partition-local
-    // stub decode → per-source feature aggregate (rows-only check; the
-    // byte-level featurizer is asserted in MultimodalSpec)
+    // stub decode → per-source feature aggregate. Hash-checked: the stub
+    // decode is deterministic byte-histogram moments, which the oracle
+    // recomputes from hex(encode(text)) bytes in DuckDB. Per-doc mean/std
+    // are bit-identical across engines (integer-valued double sums are
+    // exact and order-free; both sides then run the same /, -, sqrt);
+    // the cross-doc average goes through DECIMAL(18,6) so Spark's
+    // partial-agg order can't shift the 4-decimal round.
     "x02_multimodal_features" -> ((s, d) => {
       val media = Multimodal.asMediaTable(documents(s, d))
       Multimodal.featurize(media)
@@ -51,13 +56,48 @@ object SimilarityQueries {
           element_at(col("features"), 2).as("byte_std"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_media"),
-          round(avg(col("byte_mean")), 4).as("avg_byte_mean"),
-          round(avg(col("byte_std")), 4).as("avg_byte_std"))
+          round(sum(col("byte_mean").cast("decimal(18,6)")).cast("double")
+            / count(lit(1)), 4).as("avg_byte_mean"),
+          round(sum(col("byte_std").cast("decimal(18,6)")).cast("double")
+            / count(lit(1)), 4).as("avg_byte_std"))
         .orderBy("source")
     })
   )
 
   def oracles: Map[String, String] = Map(
+    // replays Multimodal.stubDecodeFeatures byte-for-byte: hex-decode the
+    // UTF-8 payload, per-doc mean/std via the same sumSq/n - mean^2 form
+    // (exact: integer-valued double sums are order-free below 2^53, and
+    // /, -, sqrt are IEEE-identical across engines), then the decimal-sum
+    // cross-doc average exactly as the Spark side
+    "x02_multimodal_features" ->
+      """WITH hx AS (
+        |  SELECT doc_id, source, hex(encode(text)) AS h,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents),
+        |expl AS (
+        |  SELECT doc_id, source, n, h,
+        |         unnest(generate_series(1, n)) AS i FROM hx),
+        |byteval AS (
+        |  SELECT doc_id, source,
+        |         (strpos('0123456789ABCDEF', substr(h, 2*i-1, 1)) - 1) * 16
+        |         + (strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 1) AS v
+        |  FROM expl),
+        |perdoc AS (
+        |  SELECT doc_id, source,
+        |         SUM(CAST(v AS DOUBLE)) / COUNT(*) AS mean,
+        |         sqrt(greatest(0.0,
+        |           SUM(CAST(v AS DOUBLE) * v) / COUNT(*)
+        |           - (SUM(CAST(v AS DOUBLE)) / COUNT(*))
+        |             * (SUM(CAST(v AS DOUBLE)) / COUNT(*)))) AS std
+        |  FROM byteval GROUP BY doc_id, source)
+        |SELECT source, COUNT(*) AS n_media,
+        |       ROUND(CAST(SUM(CAST(mean AS DECIMAL(18,6))) AS DOUBLE)
+        |             / COUNT(*), 4) AS avg_byte_mean,
+        |       ROUND(CAST(SUM(CAST(std AS DECIMAL(18,6))) AS DOUBLE)
+        |             / COUNT(*), 4) AS avg_byte_std
+        |FROM perdoc GROUP BY source ORDER BY source""".stripMargin,
+
     "o30_embedding_neardup" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -97,6 +97,23 @@ class IncrementalSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$root/bronze/lineitem").count() == 5)
     val run2 = Incremental.run(spark, s"$root/landing", s"$root/bronze")
     assert(run2.forall(_.status == "SKIP"))
+
+    // mid-stream NEW MONTH: order 5 lands in 1996-09, a period file that
+    // didn't exist before — every prior month must fingerprint-SKIP, the
+    // new month alone appends, and order 5's pre-existing item (J7-held
+    // until now) arrives with it
+    writeSource(src, extraOrder = true)
+    Landing.explode(spark, src, s"$root/landing", periodFmt = "yyyy-MM")
+    val run3 = Incremental.run(spark, s"$root/landing", s"$root/bronze")
+    val r3 = run3.map(e => e.file_name -> e).toMap
+    assert(r3.contains("orders_1996-09"), "new month must appear in the manifest")
+    assert(r3("orders_1996-09").status == "OK" &&
+      r3("orders_1996-09").rows_orders == 1 && r3("orders_1996-09").rows_items == 1)
+    assert(run3.filter(e => e.file_name.startsWith("orders_") &&
+      e.file_name != "orders_1996-09").forall(_.status == "SKIP"),
+      "all pre-existing months must be fingerprint-skipped")
+    assert(spark.read.parquet(s"$root/bronze/orders").count() == 5)
+    assert(spark.read.parquet(s"$root/bronze/lineitem").count() == 6)
   }
 
   test("rerun converges after a crash between the item and order appends") {

@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+import graft.engine.PipelineQueries
+
+/** x04 (approx_percentile, bounded-memory sketch) vs o35 (exact
+  * interpolated percentile): same groups, and the approximation error is
+  * bounded. approx_percentile guarantees a RANK error of at most
+  * 1/accuracy; with accuracy=10000 on sf0.001 (~6k lineitem rows split in
+  * 3 return-flag groups) the sketch holds every value, so the answer must
+  * land on an actual data point adjacent to the exact interpolated
+  * quantile — within one inter-value gap, bounded here by a loose
+  * relative tolerance.
+  */
+class PercentileSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def byFlag(name: String): Map[String, (Double, Double)] =
+    PipelineQueries.queries(name)(spark, sf).collect().map {
+      case Row(f: String, med: Double, p90: Double) => f -> (med, p90)
+    }.toMap
+
+  test("approx percentiles track the exact ones per group") {
+    val exact = byFlag("o35_percentiles")
+    val approx = byFlag("x04_approx_percentiles")
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (flag, (medE, p90E)) =>
+      val (medA, p90A) = approx(flag)
+      assert(math.abs(medA - medE) / medE < 0.02,
+        s"$flag median: approx $medA vs exact $medE")
+      assert(math.abs(p90A - p90E) / p90E < 0.02,
+        s"$flag p90: approx $p90A vs exact $p90E")
+    }
+  }
+}
