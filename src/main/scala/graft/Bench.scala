@@ -73,20 +73,28 @@ object Bench {
     }
     // The driver keeps only the last ~2000 chars of sbt output, so the
     // stdout JSON line must fit that window in full: per-query times at
-    // 2 decimals (72 queries × ~27 chars must leave real headroom —
-    // full precision lives in bench_out.json), totals at 3, error detail
-    // only in bench_out.json (n_errors inline).
+    // 2 decimals (75 queries × ~27 chars leaves <50 chars of headroom),
+    // totals at 3, error detail only in bench_out.json (n_errors inline).
+    // If the registry grows (or double-digit times widen the line) past
+    // the budget, per-query precision degrades to 1 decimal AUTOMATICALLY
+    // rather than silently clipping the JSON head out of the window —
+    // full precision always lives in bench_out.json.
     def rnd(v: Double, s: Int): String =
       BigDecimal(v).setScale(s, BigDecimal.RoundingMode.HALF_UP).toString
     def r3(v: Double): String = rnd(v, 3)
     val timed = results.collect { case (n, Some(t)) => n -> t }
-    val qs = timed.map { case (k, v) => Json.quote(k) + ":" + rnd(v, 2) }
-      .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => Json.quote(k) + ":" + Json.quote(v) }
       .mkString("{", ",", "}")
     val total = timed.map(_._2).sum
-    val json =
+    def stdoutJson(qDecimals: Int): String = {
+      val qs = timed.map { case (k, v) => Json.quote(k) + ":" + rnd(v, qDecimals) }
+        .mkString("{", ",", "}")
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"setup_sec":${r3(setupSec)},"n_errors":${errors.size},"sf":${Json.quote(sfDir)}}"""
+    }
+    // budget: the 2000-char window minus the trailing newline and slack;
+    // the JSON is the very last thing printed, so nothing else competes
+    val json = Iterator(2, 1)
+      .map(stdoutJson).find(_.length <= 1975).getOrElse(stdoutJson(0))
     Files.writeString(Paths.get("bench_out.json"),
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${timed.map { case (k, v) => Json.quote(k) + ":" + v }.mkString("{", ",", "}")},"setup_sec":$setupSec,"n_errors":${errors.size},"errors":$errJson,"sf":${Json.quote(sfDir)}}""")
     if (errors.nonEmpty)
