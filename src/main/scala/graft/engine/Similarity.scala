@@ -71,6 +71,27 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** The PRODUCTION near-dup shape [[cosineNearDup]] documents as its
+    * scale path: exact cosine pairs within each coarse cluster (`label`)
+    * only, as a label-equi self-join. Both sides shuffle (co-partition)
+    * on label, so total work is Σ|cluster|² instead of |corpus|² and no
+    * stage is all-pairs; the skew bound is the largest cluster, which the
+    * coarse quantizer controls at ingest. Cross-cluster near-dups are
+    * missed by construction — the same recall contract as IVF probing.
+    */
+  def clusteredNearDup(emb: DataFrame, threshold: Double): DataFrame = {
+    val e = withNorms(emb)
+    val a = e.select(col("label"), col("vec_id").as("a"),
+      col("v").as("va"), col("n").as("na"))
+    val b = e.select(col("label"), col("vec_id").as("b"),
+      col("v").as("vb"), col("n").as("nb"))
+    a.join(b, Seq("label"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Per-label centroids of the embedding column, computed by position
     * explode + grouped average (distributed; no vectors on the driver).
     */

@@ -39,6 +39,15 @@ object SimilarityQueries {
         .withColumn("cos", round(col("cos"), 6))
         .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))),
 
+    // the production-shape near-dup: FULL corpus, pairs only within each
+    // coarse cluster (label-equi self-join — Σ|cluster|², never all-pairs;
+    // o30 stays the sampled all-pairs audit of this). cos emitted rounded
+    // to 6 decimals on both engines; the threshold filters the raw value.
+    "o42_clustered_neardup" -> ((s, d) =>
+      Similarity.clusteredNearDup(embeddings(s, d), threshold = 0.4)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("a", "b")),
+
     // multimodal: binary media column + typed metadata → partition-local
     // stub decode → per-source feature aggregate. Hash-checked: the stub
     // decode is deterministic byte-histogram moments, which the oracle
@@ -65,6 +74,16 @@ object SimilarityQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "o42_clustered_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings)
+        |SELECT a.vec_id AS a, b.vec_id AS b,
+        |       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+        |ORDER BY a, b""".stripMargin,
+
     // replays Multimodal.stubDecodeFeatures byte-for-byte: hex-decode the
     // UTF-8 payload, per-doc mean/std via the same sumSq/n - mean^2 form
     // (exact: integer-valued double sums are order-free below 2^53, and

@@ -44,6 +44,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf == exact, "IVF recall must be 1.0 on separated clusters")
   }
 
+  test("clusteredNearDup = all-pairs near-dups restricted to same-label pairs") {
+    val full = Similarity.cosineNearDup(clustered, threshold = 0.9, sampleMod = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Similarity.clusteredNearDup(clustered, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val label = (id: Long) => id / 8 // construction of `clustered`
+    assert(blocked == full.filter { case (a, b) => label(a) == label(b) },
+      "blocked join must find exactly the same-cluster near-dup pairs")
+    assert(blocked.nonEmpty)
+  }
+
   test("centroids: one per label, correct dimensionality") {
     val cs = Similarity.centroids(clustered).collect()
     assert(cs.length == 3)
