@@ -31,7 +31,10 @@ object Similarity {
     */
   private def withNorms(emb: DataFrame): DataFrame = {
     val p = emb.sparkSession.sparkContext.defaultParallelism
-    val spread = if (emb.rdd.getNumPartitions >= p) emb else emb.repartition(p)
+    // inputFiles = logical-plan metadata, so the split probe doesn't
+    // trigger an RDD plan conversion (df.rdd does); >= parallelism file
+    // splits means the scan is already spread
+    val spread = if (emb.inputFiles.length >= p) emb else emb.repartition(p)
     spread.withColumn("v", VectorOps.asDouble(col("embedding")))
       .withColumn("n", VectorOps.norm(col("v")))
   }

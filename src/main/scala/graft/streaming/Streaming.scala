@@ -83,6 +83,50 @@ object Streaming {
     result
   }
 
+  /** Streaming twin of the Phase-2 incremental bronze ingest: the landing
+    * orders directory is consumed as a FILE STREAM — the checkpoint WAL
+    * plays the fingerprint manifest's role (each file is offset-tracked
+    * and processed once) — and every micro-batch is idempotently
+    * anti-join-appended into bronze via `foreachBatch`.
+    * `Trigger.AvailableNow` drains the backlog and stops: the same
+    * run-to-completion contract as the batch pipeline, but restartable
+    * and exactly-once under the checkpoint, and a RERUN over the same
+    * checkpoint discovers nothing new (proved in StreamingSpec).
+    *
+    * The in-batch anti-join makes replayed batches (crash between sink
+    * write and offset commit) converge instead of duplicating — the same
+    * dedup-on-append semantics as `Incremental.run`'s staging recovery.
+    *
+    * Scale posture: file discovery and offsets are per-micro-batch
+    * metadata; the anti-join probe reads only the bronze KEY column
+    * (column-pruned scan), and the append itself is partition-parallel.
+    */
+  def ingestOrders(spark: SparkSession, landingOrders: String,
+                   bronzeOrders: String, checkpoint: String,
+                   maxFilesPerTrigger: Int = 2): Unit = {
+    val schema = spark.read.option("basePath", landingOrders)
+      .parquet(landingOrders).schema
+    val src = spark.readStream
+      .schema(schema)
+      .option("basePath", landingOrders)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(landingOrders)
+    val q = src.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val fresh = batch.dropDuplicates("o_orderkey")
+        val toAppend =
+          if (graft.engine.Workdirs.exists(spark, bronzeOrders)) {
+            val existing = spark.read.parquet(bronzeOrders).select("o_orderkey")
+            fresh.join(existing, Seq("o_orderkey"), "left_anti")
+          } else fresh
+        toAppend.write.mode("append").parquet(bronzeOrders): Unit
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   final case class Event(user_id: Long, ts: java.sql.Timestamp)
   final case class SessionState(start: Long, lastUs: Long, n: Int)
   final case class ClosedSession(user_id: Long, start_us: Long, end_us: Long, n_events: Int)

@@ -38,6 +38,28 @@ object StreamingQueries {
               .as("total_value")),
         sink)
         .orderBy("event_type")
+    }),
+
+    // streaming file-source ingest of the landing zone (the incremental
+    // pipeline's streaming twin): explode → readStream over the period
+    // files (2 files per micro-batch) → foreachBatch anti-join append →
+    // bronze; a second AvailableNow run over the same checkpoint is a
+    // no-op. The resulting bronze must equal the source orders exactly —
+    // the same oracle as the batch pipeline's p02.
+    "s03_streaming_ingest" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val root = graft.engine.Workdirs
+        .materializeOnce("graft-streaming-ingest", d) { root =>
+          graft.engine.Workdirs.delete(s, root)
+          graft.engine.Landing.explode(s, d, s"$root/landing", periodFmt = "yyyy")
+          Streaming.ingestOrders(
+            s, s"$root/landing/orders", s"$root/bronze_orders", s"$root/ckpt")
+          // rerun over the same checkpoint: nothing new to discover
+          Streaming.ingestOrders(
+            s, s"$root/landing/orders", s"$root/bronze_orders", s"$root/ckpt")
+        }
+      val cols = graft.engine.Tables.orders(s, d).columns.map(col).toIndexedSeq
+      s.read.parquet(s"$root/bronze_orders").select(cols: _*).orderBy("o_orderkey")
     })
   )
 
@@ -51,6 +73,9 @@ object StreamingQueries {
       """SELECT event_type, COUNT(*) AS n_events,
         |       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
         |         AS total_value
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "s03_streaming_ingest" ->
+      """SELECT * FROM orders ORDER BY o_orderkey"""
   )
 }

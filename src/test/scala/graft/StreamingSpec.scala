@@ -26,6 +26,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.zip(batch).forall { case (a, b) => a == b })
   }
 
+  test("streaming ingest: exactly-once, rerun no-op, crash replay converges") {
+    import org.apache.spark.sql.functions.col
+    val root = TestSpark.tmpDir("stream-ingest")
+    val landing = s"$root/landing/orders"
+    (1 to 8).map(i => (i.toLong, s"p${1 + (i - 1) / 4}"))
+      .toDF("o_orderkey", "period")
+      .write.partitionBy("period").parquet(landing)
+
+    // crash window: period p1's rows already appended to bronze but the
+    // stream's offsets were never committed (no checkpoint yet)
+    spark.read.option("basePath", landing).parquet(landing)
+      .filter(col("period") === "p1")
+      .write.parquet(s"$root/bronze")
+    Streaming.ingestOrders(spark, landing, s"$root/bronze", s"$root/ckpt",
+      maxFilesPerTrigger = 1)
+    val after1 = spark.read.parquet(s"$root/bronze")
+    assert(after1.count() == 8, "every order ingested exactly once")
+    assert(after1.select("o_orderkey").distinct().count() == 8,
+      "crash-replayed rows must dedup, not duplicate")
+
+    // rerun over the same checkpoint: no new files, bronze unchanged
+    Streaming.ingestOrders(spark, landing, s"$root/bronze", s"$root/ckpt")
+    assert(spark.read.parquet(s"$root/bronze").count() == 8)
+  }
+
   test("streaming dedup: dropDuplicates keeps one row per event id") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val source =
