@@ -9,12 +9,14 @@ import org.apache.spark.sql.functions._
   * pricing summary (wide multi-aggregate scan), Q6 predicate-heavy
   * single-pass revenue delta, Q3 segment-filtered join + top-k, Q4
   * correlated-EXISTS priority check, Q5 six-table snowflake join, Q10
-  * returned-item top-k, and Q14 conditional-aggregate ratio (columns the
-  * testdata lacks — l_commitdate, l_shipmode — are adapted, the operator
-  * shapes are not). All scan-dominant: filters push to parquet,
-  * aggregates are one partial+final shuffle, top-k plans as
-  * TakeOrderedAndProject, fixed-size dims broadcast while SF-scaled
-  * tables stay unhinted for AQE.
+  * returned-item top-k, Q14 conditional-aggregate ratio, Q18
+  * IN-on-aggregated-subquery, Q22 scalar-subquery threshold + anti-join,
+  * and Q2-style correlated-MIN join-back (columns the testdata lacks —
+  * l_commitdate, l_shipmode, partsupp — are adapted, the operator shapes
+  * are not). All scan-dominant: filters push to parquet, aggregates are
+  * one partial+final shuffle, top-k plans as TakeOrderedAndProject,
+  * fixed-size dims broadcast while SF-scaled tables stay unhinted for
+  * AQE.
   */
 object TpchQueries {
   import Tables._
@@ -181,10 +183,110 @@ object TpchQueries {
               col("l_quantity").between(10, 35)))
         .agg(round(sum(rev), 2).cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
+    }),
+
+    // Q18 shape: large-volume customers — the IN-on-aggregated-subquery
+    // pattern, planned as (partial-agg'd HAVING subquery) ⋈ orders ⋈
+    // customer. total_qty sums integer-valued doubles, exact and
+    // order-free below 2^53, so no decimal detour is needed.
+    "t10_large_volume" -> ((s, d) => {
+      val big = lineitem(s, d).groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 300)
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
+    // Q22 shape: dormant high-balance customers — an uncorrelated SCALAR
+    // subquery (global balance threshold) gating an anti-join against
+    // recent orders. The scalar is sum(decimal)/count, not avg(double):
+    // exact and order-free on both engines, so threshold membership can
+    // never flip on partial-agg order (the one-row threshold broadcasts).
+    "t11_dormant_customers" -> ((s, d) => {
+      val thr = customer(s, d).filter(col("c_acctbal") > 0)
+        .agg((sum(col("c_acctbal").cast("decimal(18,4)")).cast("double")
+          / count(lit(1))).as("thr"))
+      val recent = orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit("2000-07-01")))
+        .select(col("o_custkey").as("c_custkey"))
+      customer(s, d)
+        .crossJoin(broadcast(thr)) // 1-row scalar: bounded by construction
+        .filter(col("c_acctbal") > col("thr"))
+        .join(recent, Seq("c_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_custs"),
+          round(sum(col("c_acctbal").cast("decimal(18,4)")), 2).cast("double")
+            .as("total_bal"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Q2 shape: correlated-MIN subquery — each nation's cheapest
+    // order(s). Expressed Spark-side as group-min + join-back (what a
+    // planner de-correlates the subquery into); the oracle keeps the
+    // correlated form, so the check also locks semantic equivalence of
+    // the two formulations. MIN is selection, not arithmetic — the
+    // double compares equal bit-for-bit across engines.
+    "t12_cheapest_order" -> ((s, d) => {
+      val withNation = orders(s, d)
+        .join(customer(s, d).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d).select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("o_orderkey"), col("o_totalprice"))
+      val mins = withNation.groupBy(col("n_name"))
+        .agg(min(col("o_totalprice")).as("min_price"))
+      withNation.join(mins, Seq("n_name"))
+        .filter(col("o_totalprice") === col("min_price"))
+        .select(col("n_name"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("n_name", "o_orderkey")
     })
   )
 
   def oracles: Map[String, String] = Map(
+    "t10_large_volume" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, SUM(l_quantity) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |       CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+        |       o_totalprice, total_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN big ON o_orderkey = l_orderkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "t11_dormant_customers" ->
+      """WITH thr AS (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+        |         / COUNT(*) AS v
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, COUNT(*) AS n_custs,
+        |       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |         AS total_bal
+        |FROM customer c, thr
+        |WHERE c.c_acctbal > thr.v
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND CAST(o.o_orderdate AS TIMESTAMP) >= TIMESTAMP '2000-07-01')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "t12_cheapest_order" ->
+      """WITH ow AS (
+        |  SELECT n.n_name, o.o_orderkey, o.o_totalprice
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey)
+        |SELECT n_name, o_orderkey, o_totalprice
+        |FROM ow w
+        |WHERE o_totalprice = (SELECT MIN(o_totalprice) FROM ow w2
+        |                      WHERE w2.n_name = w.n_name)
+        |ORDER BY n_name, o_orderkey""".stripMargin,
+
     "t01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       ROUND(SUM(l_quantity), 2) AS sum_qty,
