@@ -87,12 +87,18 @@ object Bench {
       .mkString("{", ",", "}")
     val total = timed.map(_._2).sum
     // stdout trims every char it can spare (bench_out.json keeps full
-    // detail): sf as BASENAME, setup at 2 decimals, n_errors only when
-    // non-zero — with 77 queries the 2-decimal line sits ~20 chars under
-    // the window
+    // names and full precision): per-query keys are the registry's UNIQUE
+    // short ids ("o22" for o22_minhash_lsh_jaccard — the prefix before
+    // the first underscore, the same id CORRECTNESS entries start with),
+    // sf as BASENAME, setup at 2 decimals, n_errors only when non-zero.
+    // 83 full names at any precision no longer fit the window; 83 short
+    // ids at 2 decimals are ~1100 chars with years of headroom.
     val sfShort = sfDir.split('/').last
+    def shortId(name: String): String = name.takeWhile(_ != '_')
+    require(timed.map(t => shortId(t._1)).distinct.size == timed.size,
+      "short query ids must stay unique for the stdout metric line")
     def stdoutJson(qDecimals: Int): String = {
-      val qs = timed.map { case (k, v) => Json.quote(k) + ":" + rnd(v, qDecimals) }
+      val qs = timed.map { case (k, v) => Json.quote(shortId(k)) + ":" + rnd(v, qDecimals) }
         .mkString("{", ",", "}")
       val errField = if (errors.isEmpty) "" else s""","n_errors":${errors.size}"""
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"setup_sec":${rnd(setupSec, 2)}$errField,"sf":${Json.quote(sfShort)}}"""

@@ -288,7 +288,52 @@ object PipelineQueries {
           grouping(col("l_returnflag")).cast("long").as("g_rf"),
           grouping(col("l_linestatus")).cast("long").as("g_ls"))
         .orderBy(col("g_rf"), col("g_ls"),
-          col("l_returnflag").asc_nulls_last, col("l_linestatus").asc_nulls_last))
+          col("l_returnflag").asc_nulls_last, col("l_linestatus").asc_nulls_last)),
+
+    // explicit GROUPING SETS (the third grouping-family flavor next to
+    // rollup o16 / cube o37): a hand-picked lattice — (status, priority),
+    // (status), () — that is neither a rollup prefix chain nor a full
+    // cube. NULLS LAST pinned on both engines (Spark defaults NULLS
+    // FIRST, DuckDB NULLS LAST).
+    "o43_grouping_sets" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("o43_orders")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+          |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+          |            AS DOUBLE) AS total
+          |FROM o43_orders
+          |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+          |                        (o_orderstatus), ())
+          |ORDER BY o_orderstatus ASC NULLS LAST,
+          |         o_orderpriority ASC NULLS LAST""".stripMargin)
+    }),
+
+    // Misra-Gries heavy hitters in its EXACT regime: k(=64) exceeds the
+    // distinct count of o_orderpriority, so the mergeable sketch holds
+    // every counter and the output equals plain COUNT(*) GROUP BY —
+    // which is exactly what the oracle pins. The approximate regime
+    // (evictions) is x05 + SketchSpec.
+    "o44_heavyhitters_exact" -> ((s, d) =>
+      Tables.orders(s, d)
+        .agg(graft.functions.HeavyHitters.topTerms(col("o_orderpriority"), k = 64)
+          .as("hh"))
+        .select(explode(arrays_zip(col("hh.keys"), col("hh.counts"))).as("e"))
+        .select(col("e.keys").as("o_orderpriority"), col("e.counts").as("cnt"))
+        .orderBy(col("cnt").desc, col("o_orderpriority"))),
+
+    // heavy hitters in the approximate regime: MG(k=32) over the token
+    // stream of all documents (far more than 32 distinct terms ⇒ real
+    // evictions). Counter survival depends on partial-agg order ⇒
+    // rows-only, like x03; the frequency bounds are property-tested in
+    // SketchSpec against the exact counts.
+    "x05_heavy_hitters" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("term"))
+        .agg(graft.functions.HeavyHitters.topTerms(col("term"), k = 32).as("hh"))
+        .select(explode(arrays_zip(col("hh.keys"), col("hh.counts"))).as("e"))
+        .select(col("e.keys").as("term"), col("e.counts").as("est"))
+        .orderBy(col("est").desc, col("term"))
+        .limit(10))
   )
 
   def oracles: Map[String, String] = Map(
@@ -445,6 +490,21 @@ object PipelineQueries {
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY g_rf, g_ls, l_returnflag ASC NULLS LAST,
-        |         l_linestatus ASC NULLS LAST""".stripMargin
+        |         l_linestatus ASC NULLS LAST""".stripMargin,
+
+    "o43_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+        |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+        |            AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), ())
+        |ORDER BY o_orderstatus ASC NULLS LAST,
+        |         o_orderpriority ASC NULLS LAST""".stripMargin,
+
+    "o44_heavyhitters_exact" ->
+      """SELECT o_orderpriority, COUNT(*) AS cnt
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY cnt DESC, o_orderpriority""".stripMargin
   )
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.functions.KmvSketch
+import graft.functions.{HeavyHitters, KmvSketch}
 
 class SketchSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -23,6 +23,43 @@ class SketchSpec extends AnyFunSuite {
     val se = 1.0 / math.sqrt(254)
     assert(math.abs(est - n).toDouble / n < 3 * se,
       s"estimate $est too far from $n")
+  }
+
+  private def mgCounts(df: org.apache.spark.sql.DataFrame, k: Int): Map[String, Long] =
+    df.agg(HeavyHitters.topTerms(col("t"), k).as("hh"))
+      .select(explode(arrays_zip(col("hh.keys"), col("hh.counts"))).as("e"))
+      .select(col("e.keys"), col("e.counts"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("Misra-Gries is exact below k") {
+    val data = (1 to 1000).map(i => s"v${i % 7}")
+    val est = mgCounts(data.toDF("t").repartition(8), k = 64)
+    val exact = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(est == exact)
+  }
+
+  test("Misra-Gries respects the frequency bounds under eviction and merge") {
+    // 5 hot keys ~2000 each over n=20000, 1000-key uniform tail; k=32
+    // forces real evictions and the repartition forces real merges
+    val rnd = new scala.util.Random(42)
+    val data = Seq.fill(20000) {
+      if (rnd.nextDouble() < 0.5) s"hot${rnd.nextInt(5)}"
+      else s"tail${rnd.nextInt(1000)}"
+    }
+    val k = 32
+    val n = data.size
+    val exact = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val est = mgCounts(data.toDF("t").repartition(8), k)
+    // every reported estimate: f(x) - n/(k+1) <= est <= f(x)
+    est.foreach { case (x, e) =>
+      val f = exact(x)
+      assert(e <= f, s"$x overestimated: $e > $f")
+      assert(f - e <= n / (k + 1), s"$x undershoots the MG bound: $e vs $f")
+    }
+    // every true heavy hitter (f > n/(k+1)) must be retained
+    exact.filter(_._2 > n / (k + 1)).keys.foreach { x =>
+      assert(est.contains(x), s"heavy hitter $x evicted")
+    }
   }
 
   test("KMV merges across groups and partitions") {
