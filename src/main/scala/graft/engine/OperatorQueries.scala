@@ -157,6 +157,21 @@ object OperatorQueries {
         .agg(count(lit(1)).as("cnt"), round(avg(col("k")), 2).as("avg_k"))
         .orderBy("event_type")),
 
+    // events: SCHEMA-TYPED json extraction (from_json with an explicit
+    // struct schema — o18 is the regexp flavor) → bucketed aggregate;
+    // oracle = DuckDB json_extract. Decimal sum for order-free rounding.
+    "o45_json_schema" -> ((s, d) =>
+      events(s, d)
+        .select(
+          (from_json(col("props"), "k BIGINT", Map.empty[String, String])
+            .getField("k") % 10).as("k_mod"),
+          col("value"))
+        .groupBy("k_mod")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("value").cast("decimal(18,4)")), 2).cast("double")
+            .as("total_value"))
+        .orderBy("k_mod")),
+
     // events: sessionization (30-min inactivity gap) via lag window —
     // exact µs arithmetic on both engines
     "o19_events_sessions" -> ((s, d) => {
@@ -287,6 +302,13 @@ object OperatorQueries {
       """SELECT event_type, COUNT(*) AS cnt,
         |       ROUND(AVG(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)), 2) AS avg_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "o45_json_schema" ->
+      """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+        |       COUNT(*) AS cnt,
+        |       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |         AS total_value
+        |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin,
 
     "o19_events_sessions" ->
       """WITH g AS (

@@ -226,21 +226,21 @@ object TpchQueries {
     }),
 
     // Q2 shape: correlated-MIN subquery — each nation's cheapest
-    // order(s). Expressed Spark-side as group-min + join-back (what a
-    // planner de-correlates the subquery into); the oracle keeps the
-    // correlated form, so the check also locks semantic equivalence of
-    // the two formulations. MIN is selection, not arithmetic — the
-    // double compares equal bit-for-bit across engines.
+    // order(s). Expressed Spark-side as a whole-partition window MIN +
+    // filter: ONE scan and one shuffle, where the naive group-min +
+    // join-back de-correlation reads the joined relation twice. The
+    // oracle keeps the correlated-subquery form, so the hash check locks
+    // the formulations equivalent. MIN is selection, not arithmetic —
+    // the double compares equal bit-for-bit across engines.
     "t12_cheapest_order" -> ((s, d) => {
-      val withNation = orders(s, d)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("n_name"))
+      orders(s, d)
         .join(customer(s, d).select("c_custkey", "c_nationkey"),
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(nation(s, d).select("n_nationkey", "n_name")),
           col("c_nationkey") === col("n_nationkey"))
         .select(col("n_name"), col("o_orderkey"), col("o_totalprice"))
-      val mins = withNation.groupBy(col("n_name"))
-        .agg(min(col("o_totalprice")).as("min_price"))
-      withNation.join(mins, Seq("n_name"))
+        .withColumn("min_price", min(col("o_totalprice")).over(w))
         .filter(col("o_totalprice") === col("min_price"))
         .select(col("n_name"), col("o_orderkey"), col("o_totalprice"))
         .orderBy("n_name", "o_orderkey")
