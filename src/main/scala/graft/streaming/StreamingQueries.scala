@@ -40,6 +40,40 @@ object StreamingQueries {
         .orderBy("event_type")
     }),
 
+    // watermarked STREAM-STREAM inner join: views joined to purchases by
+    // the same user within 30 minutes of EVENT time. Both sides carry a
+    // 1h watermark bounding join state; the range condition lets the
+    // state store evict rows once the watermark passes view_ts + 30min —
+    // the canonical bounded-state stream-stream join shape. The left
+    // side is a bounded user set (user_id < 100), so localizing the
+    // joined pairs from the sink stays aggregate-small by construction;
+    // inner-join matches emit as soon as both rows have arrived, so the
+    // drained AvailableNow result is the complete deterministic match
+    // set — which the batch self-join oracle pins.
+    "s04_stream_stream_join" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ev = Streaming.eventsStream(s, d)
+      val views = ev
+        .filter(col("event_type") === "view" && col("user_id") < 100)
+        .select(col("user_id"), col("ts").as("view_ts"))
+        .withWatermark("view_ts", "1 hour")
+      val buys = ev
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("b_user"), col("ts").as("buy_ts"))
+        .withWatermark("buy_ts", "1 hour")
+      val joined = views.join(buys,
+        col("user_id") === col("b_user") &&
+          col("buy_ts") > col("view_ts") &&
+          col("buy_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
+      val sink = s"graft_s04_sink_${counter.incrementAndGet()}"
+      Streaming.runAvailableNow(
+        joined.select(col("user_id"), col("view_ts"), col("buy_ts")),
+        sink, org.apache.spark.sql.streaming.OutputMode.Append())
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
+    }),
+
     // streaming file-source ingest of the landing zone (the incremental
     // pipeline's streaming twin): explode → readStream over the period
     // files (2 files per micro-batch) → foreachBatch anti-join append →
@@ -76,6 +110,14 @@ object StreamingQueries {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "s03_streaming_ingest" ->
-      """SELECT * FROM orders ORDER BY o_orderkey"""
+      """SELECT * FROM orders ORDER BY o_orderkey""",
+
+    "s04_stream_stream_join" ->
+      """SELECT a.user_id, COUNT(*) AS n_pairs
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        |WHERE a.event_type = 'view' AND a.user_id < 100
+        |  AND b.event_type = 'purchase'
+        |  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin
   )
 }

@@ -20,7 +20,8 @@ class PlanAuditSpec extends AnyFunSuite {
     */
   private val pipelines = Set(
     "p01_incremental_runs", "p02_incremental_bronze",
-    "s01_streaming_hourly", "s02_streaming_dedup")
+    "s01_streaming_hourly", "s02_streaming_dedup",
+    "s03_streaming_ingest", "s04_stream_stream_join")
 
   /** Broadcast nested-loop joins by design: the broadcast side is
     * bounded by construction (fixed query set / centroid set / sampled
