@@ -157,6 +157,21 @@ object OperatorQueries {
         .agg(count(lit(1)).as("cnt"), round(avg(col("k")), 2).as("avg_k"))
         .orderBy("event_type")),
 
+    // LEFT OUTER join + null-aware aggregation: every customer with the
+    // count and decimal-exact total of their 2001 orders — customers
+    // without one keep a row with cnt 0 / total 0 (COUNT over the
+    // null-padded side counts non-null only; COALESCE pins the sum).
+    "o46_left_outer" -> ((s, d) =>
+      customer(s, d)
+        .join(orders(s, d)
+          .filter(col("o_orderdate") >= to_timestamp(lit("2001-01-01"))),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_recent"),
+          coalesce(round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double"), lit(0.0)).as("recent_total"))
+        .orderBy("c_custkey")),
+
     // events: SCHEMA-TYPED json extraction (from_json with an explicit
     // struct schema — o18 is the regexp flavor) → bucketed aggregate;
     // oracle = DuckDB json_extract. Decimal sum for order-free rounding.
@@ -302,6 +317,15 @@ object OperatorQueries {
       """SELECT event_type, COUNT(*) AS cnt,
         |       ROUND(AVG(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)), 2) AS avg_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "o46_left_outer" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_recent,
+        |       COALESCE(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+        |                     AS DOUBLE), 0.0) AS recent_total
+        |FROM customer LEFT JOIN orders
+        |  ON c_custkey = o_custkey
+        |  AND CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '2001-01-01'
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
 
     "o45_json_schema" ->
       """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
