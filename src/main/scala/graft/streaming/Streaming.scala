@@ -63,18 +63,32 @@ object Streaming {
     * — so localizing it is not a driver-side data move.)
     */
   def runAvailableNow(df: DataFrame, name: String,
-                      mode: OutputMode = OutputMode.Complete()): DataFrame = {
+                      mode: OutputMode = OutputMode.Complete(),
+                      statePartitions: Int = 8): DataFrame = {
     val spark = df.sparkSession
     val checkpoint = java.nio.file.Files
       .createTempDirectory(s"graft-stream-$name").toString
-    val q = df.writeStream
-      .queryName(name)
-      .outputMode(mode)
-      .format("memory")
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // state-store partition count is fixed at stream start from
+    // spark.sql.shuffle.partitions: every stateful operator opens one
+    // store per partition (a stream-stream join opens FOUR), so a small
+    // stream with the batch-sized 32 partitions pays 128 store
+    // lifecycles per micro-batch for state that fits in a handful. Size
+    // it to the stream (on a real cluster: to state volume), and restore
+    // the session conf for the batch queries that follow.
+    // held until termination: micro-batch planning reads the conf after
+    // start() returns (queries here run sequentially per session)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    try {
+      val q = df.writeStream
+        .queryName(name)
+        .outputMode(mode)
+        .format("memory")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     val sink = spark.table(name)
     val rows = java.util.Arrays.asList(sink.collect(): _*)
     val result = spark.createDataFrame(rows, sink.schema)
