@@ -64,6 +64,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("stream-stream join keeps in-range pairs and drops out-of-range ones") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Int) = new Timestamp(3600000L * 24 + min * 60000L)
+    val views =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Timestamp)]
+    val buys =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Timestamp)]
+    // user 1: purchase 20 min after the view (in range); user 2: 40 min
+    // (out of range); user 9: never purchases. Added as separate blocks
+    // so the drained run exercises the stateful join path end-to-end.
+    views.addData((1L, ts(0)), (2L, ts(10)))
+    buys.addData((9L, ts(0)))
+    buys.addData((1L, ts(20)), (2L, ts(50)))
+    val left = views.toDS().toDF("user_id", "view_ts")
+      .withWatermark("view_ts", "1 hour")
+    val right = buys.toDS().toDF("b_user", "buy_ts")
+      .withWatermark("buy_ts", "1 hour")
+    val joined = left.join(right,
+      col("user_id") === col("b_user") &&
+        col("buy_ts") > col("view_ts") &&
+        col("buy_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
+    val out = Streaming.runAvailableNow(
+      joined.select(col("user_id")),
+      "streaming_spec_ss_join",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(1L),
+      s"only user 1 pairs within 30 minutes, got $out")
+  }
+
   test("advanceSession folds late within-watermark events without moving bounds backwards") {
     import graft.streaming.Streaming.{SessionState, advanceSession}
     val gap = 30L * 60 * 1000000
