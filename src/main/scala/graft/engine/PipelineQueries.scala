@@ -51,6 +51,15 @@ object PipelineQueries {
       Sources.writeCsv(Tables.orders(spark, sfDir), s"$dir/orders")
     } + "/orders"
 
+  /** Orders written once per (JVM, sfDir) in an alternate columnar/row
+    * format for the round-trip queries (`fmt` = "orc" | "json").
+    */
+  def ensureFormat(spark: SparkSession, sfDir: String, fmt: String): String =
+    Workdirs.materializeOnce(s"graft-$fmt", sfDir) { dir =>
+      Tables.orders(spark, sfDir).write.mode("overwrite")
+        .format(fmt).save(s"$dir/orders")
+    } + "/orders"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.10 end-to-end: per-file fingerprint skip, exactly-once appends,
     // idempotent rerun, tech-log upsert + S11 note repair
@@ -101,6 +110,19 @@ object PipelineQueries {
     // S13/S14: DESCRIBE as a relational result
     "p04_describe" -> ((s, d) =>
       Catalog.describe(Tables.lineitem(s, d)).orderBy("col")),
+
+    // ORC round-trip: the second columnar format next to parquet — write
+    // once per JVM, read back, hash-match the base table (same oracle
+    // shape as p03/p05)
+    "p06_orc_roundtrip" -> ((s, d) =>
+      s.read.orc(ensureFormat(s, d, "orc")).orderBy("o_orderkey")),
+
+    // JSON-lines round-trip with an explicit schema (the row format the
+    // manifest already uses, here over a full table): doubles and ISO
+    // timestamps must survive the text round trip exactly
+    "p07_jsonl_roundtrip" -> ((s, d) =>
+      s.read.schema(Tables.orders(s, d).schema)
+        .json(ensureFormat(s, d, "json")).orderBy("o_orderkey")),
 
     // J4, repaired: fact ⋈ dim_time at DATE grain (the reference's own
     // test joins raw timestamps against the daily dim — a grain mismatch
@@ -374,6 +396,12 @@ object PipelineQueries {
     // the base table, p03 through an explicit schema, p05 through
     // inference (the inference itself is guarded inside the query)
     "p05_csv_inferred" ->
+      """SELECT * FROM orders ORDER BY o_orderkey""",
+
+    "p06_orc_roundtrip" ->
+      """SELECT * FROM orders ORDER BY o_orderkey""",
+
+    "p07_jsonl_roundtrip" ->
       """SELECT * FROM orders ORDER BY o_orderkey""",
 
     "p04_describe" ->
