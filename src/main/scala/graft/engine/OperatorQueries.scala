@@ -114,6 +114,32 @@ object OperatorQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // EXCEPT ALL — the multiplicity-sensitive set op (no dedup
+    // aggregation underneath, unlike o13): every even-orderkey row minus
+    // one occurrence per mod-4 row, leaving exactly the mod-2-not-mod-4
+    // multiplicities, made visible by the count per flag
+    "o47_except_all" -> ((s, d) => {
+      val li = lineitem(s, d)
+      li.filter(col("l_orderkey") % 2 === 0).select("l_returnflag")
+        .exceptAll(li.filter(col("l_orderkey") % 4 === 0).select("l_returnflag"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")
+    }),
+
+    // UNPIVOT (melt) — the inverse of o15's pivot: wide per-flag measure
+    // columns back to (flag, measure, value) rows
+    "o48_unpivot" -> ((s, d) =>
+      lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(
+          round(sum(col("l_quantity").cast("decimal(18,4)")), 2).cast("double")
+            .as("qty"),
+          round(sum(col("l_extendedprice").cast("decimal(18,4)")), 2).cast("double")
+            .as("price"))
+        .unpivot(Array(col("l_returnflag")), Array(col("qty"), col("price")),
+          "measure", "value")
+        .orderBy("l_returnflag", "measure")),
+
     // window function: top order per customer (ranking idiom — SURVEY §2.5)
     "o14_rank_per_customer" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -317,6 +343,25 @@ object OperatorQueries {
       """SELECT event_type, COUNT(*) AS cnt,
         |       ROUND(AVG(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)), 2) AS avg_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "o47_except_all" ->
+      """SELECT l_returnflag, COUNT(*) AS cnt
+        |FROM (SELECT l_returnflag FROM lineitem WHERE l_orderkey % 2 = 0
+        |      EXCEPT ALL
+        |      SELECT l_returnflag FROM lineitem WHERE l_orderkey % 4 = 0)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "o48_unpivot" ->
+      """WITH w AS (
+        |  SELECT l_returnflag,
+        |         CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2)
+        |              AS DOUBLE) AS qty,
+        |         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2)
+        |              AS DOUBLE) AS price
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, measure, value
+        |FROM w UNPIVOT (value FOR measure IN (qty, price))
+        |ORDER BY l_returnflag, measure""".stripMargin,
 
     "o46_left_outer" ->
       """SELECT c_custkey, COUNT(o_orderkey) AS n_recent,
