@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Materialized medallion layers (the reference's CTAS persistence —
@@ -26,6 +26,19 @@ object Gold {
     * the hottest partition saturates the cluster without file explosion.
     */
   val writeFanout = 4
+
+  /** The one salted partitioned-write shape (used by the gold fact and
+    * both landing splits, asserted in GoldSpec): pure
+    * `repartition(partCol)` serializes each hive partition through ONE
+    * task — at 100 TB a hot partition is a write bottleneck. Hash-salting
+    * on the row key fans every partition across up to [[writeFanout]]
+    * tasks while keeping file count bounded at fanout-per-partition
+    * (vs tasks x partitions unsalted).
+    */
+  def saltedPartitionedWrite(df: DataFrame, partCol: String,
+                             saltKey: Column, dir: String): Unit =
+    df.repartition(col(partCol), pmod(hash(saltKey), lit(writeFanout)))
+      .write.mode("overwrite").partitionBy(partCol).parquet(dir)
 
   /** Write silver + gold parquet for sfDir if this JVM hasn't yet; returns
     * the layer root (under the build dir, never the read-only testdata).
@@ -57,16 +70,8 @@ object Gold {
       val writes = Seq(
         Future(so.write.mode("overwrite").parquet(s"$dir/silver_orders")),
         Future(sl.write.mode("overwrite").parquet(s"$dir/silver_lineitem")),
-        Future(fact
-          // month + bounded salt: pure repartition(month) serializes each
-          // month through ONE task — at 100 TB a hot month is a write
-          // bottleneck. Hash-salting on the row key fans every month
-          // across up to `writeFanout` tasks while keeping file count
-          // bounded at fanout-per-month (vs tasks×months unsalted).
-          .repartition(col("order_month"),
-            pmod(hash(col("order_id")), lit(writeFanout)))
-          .write.mode("overwrite").partitionBy("order_month")
-          .parquet(s"$dir/fact_sales")),
+        Future(saltedPartitionedWrite(fact, "order_month", col("order_id"),
+          s"$dir/fact_sales")),
         Future(Medallion.dimCustomer(
             Tables.customer(spark, sfDir), Tables.nation(spark, sfDir),
             Tables.region(spark, sfDir))

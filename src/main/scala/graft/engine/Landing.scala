@@ -64,25 +64,22 @@ object Landing {
     val orders = Quality.gate(
       Tables.orders(spark, sfDir), Seq(Quality.NotNull("o_orderdate")))
       .withColumn("period", date_format(col("o_orderdate"), periodFmt))
-    // period + bounded hash salt (see Gold.writeFanout): every period is
-    // written by up to `writeFanout` parallel tasks instead of one, with
-    // file count still bounded per period
-    orders
-      .repartition(col("period"), pmod(hash(col("o_orderkey")), lit(Gold.writeFanout)))
-      .write.mode("overwrite").partitionBy("period")
-      .parquet(s"$landingRoot/orders")
+    // period + bounded hash salt (Gold.saltedPartitionedWrite): every
+    // period is written by up to `writeFanout` parallel tasks instead of
+    // one, with file count still bounded per period
+    Gold.saltedPartitionedWrite(orders, "period", col("o_orderkey"),
+      s"$landingRoot/orders")
     // items carry their ORDER's period and are partitioned by it, so the
     // incremental per-file item pass is a partition-pruned scan instead
     // of a full re-scan per file; an item whose order is absent gets a
     // null period (hive default partition) and is never ingested —
     // matching the semi-join-on-new-orders semantics
-    Tables.lineitem(spark, sfDir)
-      .join(orders.select(col("o_orderkey").as("__ok"), col("period")),
-        col("l_orderkey") === col("__ok"), "left")
-      .drop("__ok")
-      .repartition(col("period"), pmod(hash(col("l_orderkey")), lit(Gold.writeFanout)))
-      .write.mode("overwrite").partitionBy("period")
-      .parquet(s"$landingRoot/lineitem")
+    Gold.saltedPartitionedWrite(
+      Tables.lineitem(spark, sfDir)
+        .join(orders.select(col("o_orderkey").as("__ok"), col("period")),
+          col("l_orderkey") === col("__ok"), "left")
+        .drop("__ok"),
+      "period", col("l_orderkey"), s"$landingRoot/lineitem")
     Tables.customer(spark, sfDir).write.mode("overwrite")
       .parquet(s"$landingRoot/customer")
     Tables.part(spark, sfDir).write.mode("overwrite")
