@@ -114,6 +114,25 @@ object OperatorQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // calendar-spine gap fill: a generated daily sequence left-joined to
+    // a sparse aggregate so empty days surface as explicit 0 rows (the
+    // warehouse idiom for "no sales is a fact too"); sequence+explode on
+    // the Spark side, generate_series on the oracle's
+    "o49_gap_fill" -> ((s, d) => {
+      val daily = orders(s, d)
+        .filter(col("o_totalprice") > 390000 &&
+          col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      s.range(1).select(explode(sequence(
+          to_date(lit("1996-01-01")), to_date(lit("1996-12-31")),
+          expr("interval 1 day"))).as("day"))
+        .join(daily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+        .orderBy("day")
+    }),
+
     // EXCEPT ALL — the multiplicity-sensitive set op (no dedup
     // aggregation underneath, unlike o13): every even-orderkey row minus
     // one occurrence per mod-4 row, leaving exactly the mod-2-not-mod-4
@@ -343,6 +362,21 @@ object OperatorQueries {
       """SELECT event_type, COUNT(*) AS cnt,
         |       ROUND(AVG(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)), 2) AS avg_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "o49_gap_fill" ->
+      """WITH spine AS (
+        |  SELECT CAST(unnest(generate_series(DATE '1996-01-01',
+        |           DATE '1996-12-31', INTERVAL 1 DAY)) AS DATE) AS day),
+        |d AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS cnt
+        |  FROM orders
+        |  WHERE o_totalprice > 390000
+        |    AND CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01'
+        |    AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1)
+        |SELECT spine.day, COALESCE(cnt, 0) AS cnt
+        |FROM spine LEFT JOIN d USING (day)
+        |ORDER BY day""".stripMargin,
 
     "o47_except_all" ->
       """SELECT l_returnflag, COUNT(*) AS cnt
