@@ -187,21 +187,17 @@ object PipelineQueries {
           col("n_events"), col("total_value"))
         .orderBy("window_start")),
 
-    // exact interpolated percentiles (sort-based, deterministic across
-    // engines — unlike streaming stddev/corr whose partial-merge order
-    // jitters); Spark `percentile` == DuckDB `quantile_cont`. Exactness
-    // costs a per-group value buffer — at 100 TB swap in the built-in
-    // t-digest `approx_percentile`, which this query is the oracle for.
+    // exact interpolated percentiles, computed as DISTRIBUTED selection
+    // (histogram → range-partitioned sorted counts → broadcast offsets →
+    // position lookup, see Percentiles.exactByKey) instead of the
+    // built-in `percentile`'s per-group value buffer — same bit-exact
+    // answer as Spark `percentile` / DuckDB `quantile_cont` (equivalence
+    // locked in PercentileSpec), without the one plan the round-4 audit
+    // flagged as a 100 TB executor-OOM. x04 remains the sketch twin.
     "o35_percentiles" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        // one array-form percentile call, not two scalar calls: exact
-        // percentile buffers every group value, and two calls buffer
-        // (and sort) the group twice for the same answer
-        .agg(expr("percentile(l_extendedprice, array(0.5D, 0.9D))").as("ps"))
-        .select(col("l_returnflag"),
-          col("ps").getItem(0).as("median_price"),
-          col("ps").getItem(1).as("p90_price"))
+      Percentiles.exactByKey(Tables.lineitem(s, d),
+          "l_returnflag", "l_extendedprice",
+          ps = Seq(0.5, 0.9), outNames = Seq("median_price", "p90_price"))
         .orderBy("l_returnflag")),
 
     // the SCALE-SAFE percentile twin: approx_percentile keeps a bounded

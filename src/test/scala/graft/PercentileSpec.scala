@@ -22,6 +22,30 @@ class PercentileSpec extends AnyFunSuite {
       case Row(f: String, med: Double, p90: Double) => f -> (med, p90)
     }.toMap
 
+  test("distributed selection == built-in percentile, bit for bit") {
+    import org.apache.spark.sql.functions._
+    val builtin = graft.engine.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, array(0.5D, 0.9D))").as("ps"))
+      .select(col("l_returnflag"),
+        col("ps").getItem(0).as("median_price"),
+        col("ps").getItem(1).as("p90_price"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val ours = byFlag("o35_percentiles")
+    assert(ours == builtin,
+      s"distributed selection must equal the built-in exactly: $ours vs $builtin")
+  }
+
+  test("distributed selection handles tiny and single-value groups") {
+    import spark.implicits._
+    val df = (Seq(("a", 1.0)) ++ (1 to 4).map(i => ("b", i.toDouble)) ++
+      Seq(("c", 7.0), ("c", 7.0))).toDF("k", "x")
+    val out = graft.engine.Percentiles
+      .exactByKey(df, "k", "x", Seq(0.5), Seq("med"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out == Map("a" -> 1.0, "b" -> 2.5, "c" -> 7.0))
+  }
+
   test("approx percentiles track the exact ones per group") {
     val exact = byFlag("o35_percentiles")
     val approx = byFlag("x04_approx_percentiles")
