@@ -216,6 +216,17 @@ object PipelineQueries {
           col("ps").getItem(1).as("p90_price"))
         .orderBy("l_returnflag")),
 
+    // KMV in its EXACT regime (the o44 pattern applied to the distinct
+    // sketch): below k distinct hashes the bottom-k buffer IS the
+    // distinct set, so the estimate equals COUNT(DISTINCT) — which the
+    // oracle pins. x03 keeps the approximate regime rows-only.
+    "o50_kmv_exact" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(graft.functions.KmvSketch.approxDistinct(
+          xxhash64(col("o_orderpriority")), k = 256).as("n_priorities"))
+        .orderBy("o_orderstatus")),
+
     // KMV sketch aggregator (rows-only: approximate by design): distinct
     // customers per priority, estimate next to the exact for inspection
     "x03_sketch_distinct" -> ((s, d) =>
@@ -529,6 +540,11 @@ object PipelineQueries {
     "o44_heavyhitters_exact" ->
       """SELECT o_orderpriority, COUNT(*) AS cnt
         |FROM orders GROUP BY o_orderpriority
-        |ORDER BY cnt DESC, o_orderpriority""".stripMargin
+        |ORDER BY cnt DESC, o_orderpriority""".stripMargin,
+
+    "o50_kmv_exact" ->
+      """SELECT o_orderstatus, COUNT(DISTINCT o_orderpriority) AS n_priorities
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin
   )
 }
