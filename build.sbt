@@ -23,6 +23,9 @@ Test / outputStrategy := Some(StdoutOutput)
 // parses Bench's JSON from the tail of captured stdout, and the JSON
 // line must be the LAST line to survive the driver's 2000-char window.
 Global / showSuccess := false
+// showSuccess is consumed by sbt's logger, not by other settings —
+// silence the false-positive lint warning it triggers on every build
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -97,10 +97,12 @@ object Streaming {
     result
   }
 
-  /** Streaming twin of the Phase-2 incremental bronze ingest: the landing
-    * orders directory is consumed as a FILE STREAM — the checkpoint WAL
-    * plays the fingerprint manifest's role (each file is offset-tracked
-    * and processed once) — and every micro-batch is idempotently
+  /** Streaming twin of the Phase-2 incremental bronze ingest (the batch
+    * original mirrors `scripts/bronze_incremental.py:200-268` — see
+    * [[graft.engine.Incremental]]): the landing orders directory is
+    * consumed as a FILE STREAM — the checkpoint WAL plays the
+    * fingerprint manifest's role (each file is offset-tracked and
+    * processed once) — and every micro-batch is idempotently
     * anti-join-appended into bronze via `foreachBatch`.
     * `Trigger.AvailableNow` drains the backlog and stops: the same
     * run-to-completion contract as the batch pipeline, but restartable
