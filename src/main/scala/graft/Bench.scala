@@ -94,9 +94,12 @@ object Bench {
     // 83 full names at any precision no longer fit the window; 83 short
     // ids at 2 decimals are ~1100 chars with years of headroom.
     val sfShort = sfDir.split('/').last
-    def shortId(name: String): String = name.takeWhile(_ != '_')
-    require(timed.map(t => shortId(t._1)).distinct.size == timed.size,
-      "short query ids must stay unique for the stdout metric line")
+    def prefix(name: String): String = name.takeWhile(_ != '_')
+    // short ids only when unique — a future prefix collision falls back
+    // to full names (which the adaptive precision below absorbs) instead
+    // of failing a bench that already ran to completion
+    val useShort = names.map(prefix).distinct.size == names.size
+    def shortId(name: String): String = if (useShort) prefix(name) else name
     def stdoutJson(qDecimals: Int): String = {
       val qs = timed.map { case (k, v) => Json.quote(shortId(k)) + ":" + rnd(v, qDecimals) }
         .mkString("{", ",", "}")
@@ -104,9 +107,14 @@ object Bench {
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"setup_sec":${rnd(setupSec, 2)}$errField,"sf":${Json.quote(sfShort)}}"""
     }
     // budget: the 2000-char window minus the trailing newline and slack;
-    // the JSON is the very last thing printed, so nothing else competes
-    val json = Iterator(2, 1)
-      .map(stdoutJson).find(_.length <= 1985).getOrElse(stdoutJson(0))
+    // the JSON is the very last thing printed, so nothing else competes.
+    // Terminal fallback drops the per-query map entirely (full detail is
+    // in bench_out.json) — the headline metric must NEVER be clipped out
+    // of the consumer's tail window, whatever the registry grows to.
+    val noQueries =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"setup_sec":${rnd(setupSec, 2)},"n_errors":${errors.size},"sf":${Json.quote(sfShort)}}"""
+    val json = Iterator(2, 1, 0)
+      .map(stdoutJson).find(_.length <= 1985).getOrElse(noQueries)
     Files.writeString(Paths.get("bench_out.json"),
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${timed.map { case (k, v) => Json.quote(k) + ":" + v }.mkString("{", ",", "}")},"setup_sec":$setupSec,"n_errors":${errors.size},"errors":$errJson,"sf":${Json.quote(sfDir)}}""")
     if (errors.nonEmpty)

@@ -30,6 +30,11 @@ import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructTy
   * `quantile_cont` (selection + two multiplies and an add — no
   * order-dependent accumulation anywhere: histogram counts are exact
   * integers, offsets are exact sums of longs).
+  *
+  * Contract difference from `groupBy(key).agg(percentile(...))`: NULL
+  * keys and all-NULL-value groups are DROPPED (no output row), where the
+  * built-in would emit a (key, null) row. Callers that need null groups
+  * must union them back.
   */
 object Percentiles {
 

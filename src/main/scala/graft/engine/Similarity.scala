@@ -31,10 +31,13 @@ object Similarity {
     */
   private def withNorms(emb: DataFrame): DataFrame = {
     val p = emb.sparkSession.sparkContext.defaultParallelism
-    // inputFiles = logical-plan metadata, so the split probe doesn't
-    // trigger an RDD plan conversion (df.rdd does); >= parallelism file
-    // splits means the scan is already spread
-    val spread = if (emb.inputFiles.length >= p) emb else emb.repartition(p)
+    // inputFiles = logical-plan metadata, so the file-backed probe costs
+    // no RDD plan conversion; a NON-file-backed frame (cached/in-memory,
+    // where inputFiles is empty) falls back to the rdd partition count
+    // rather than paying an unconditional repartition shuffle
+    val files = emb.inputFiles.length
+    val enough = if (files > 0) files >= p else emb.rdd.getNumPartitions >= p
+    val spread = if (enough) emb else emb.repartition(p)
     spread.withColumn("v", VectorOps.asDouble(col("embedding")))
       .withColumn("n", VectorOps.norm(col("v")))
   }

@@ -95,21 +95,27 @@ object SimilarityQueries {
         |         octet_length(encode(text)) AS n
         |  FROM documents),
         |expl AS (
-        |  SELECT doc_id, source, n, h,
-        |         unnest(generate_series(1, n)) AS i FROM hx),
+        |  SELECT doc_id, n, h,
+        |         unnest(generate_series(1, n)) AS i FROM hx WHERE n > 0),
         |byteval AS (
-        |  SELECT doc_id, source,
+        |  SELECT doc_id,
         |         (strpos('0123456789ABCDEF', substr(h, 2*i-1, 1)) - 1) * 16
         |         + (strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 1) AS v
         |  FROM expl),
-        |perdoc AS (
-        |  SELECT doc_id, source,
+        |moments AS (
+        |  SELECT doc_id,
         |         SUM(CAST(v AS DOUBLE)) / COUNT(*) AS mean,
         |         sqrt(greatest(0.0,
         |           SUM(CAST(v AS DOUBLE) * v) / COUNT(*)
         |           - (SUM(CAST(v AS DOUBLE)) / COUNT(*))
         |             * (SUM(CAST(v AS DOUBLE)) / COUNT(*)))) AS std
-        |  FROM byteval GROUP BY doc_id, source)
+        |  FROM byteval GROUP BY doc_id),
+        |perdoc AS (
+        |  -- LEFT JOIN keeps zero-length payloads with mean/std 0,
+        |  -- exactly stubDecodeFeatures' isEmpty branch
+        |  SELECT hx.doc_id, hx.source,
+        |         COALESCE(m.mean, 0.0) AS mean, COALESCE(m.std, 0.0) AS std
+        |  FROM hx LEFT JOIN moments m USING (doc_id))
         |SELECT source, COUNT(*) AS n_media,
         |       ROUND(CAST(SUM(CAST(mean AS DECIMAL(18,6))) AS DOUBLE)
         |             / COUNT(*), 4) AS avg_byte_mean,

@@ -29,13 +29,19 @@ object Sql {
     * (session, sfDir).
     */
   def registerGold(spark: SparkSession, sfDir: String): Unit =
-    if (registered.get(spark) != sfDir) {
-      graft.functions.GraftFunctions.register(spark) // kernel SQL functions
-      Gold.fact(spark, sfDir).createOrReplaceTempView("fact_sales")
-      Gold.dimCustomer(spark, sfDir).createOrReplaceTempView("dim_customers")
-      Gold.dimPart(spark, sfDir).createOrReplaceTempView("dim_products")
-      Gold.dimDate(spark, sfDir).createOrReplaceTempView("dim_time")
-      registered.put(spark, sfDir): Unit
+    // synchronized check-AND-act: concurrent first calls with different
+    // sfDirs must not interleave the four view registrations (a mixed
+    // star schema recorded as cleanly registered); the critical section
+    // is short and only first-registration pays it
+    registered.synchronized {
+      if (registered.get(spark) != sfDir) {
+        graft.functions.GraftFunctions.register(spark) // kernel SQL functions
+        Gold.fact(spark, sfDir).createOrReplaceTempView("fact_sales")
+        Gold.dimCustomer(spark, sfDir).createOrReplaceTempView("dim_customers")
+        Gold.dimPart(spark, sfDir).createOrReplaceTempView("dim_products")
+        Gold.dimDate(spark, sfDir).createOrReplaceTempView("dim_time")
+        registered.put(spark, sfDir): Unit
+      }
     }
 
   /** Sanitize LLM-generated SQL (reference `dashboard/ai_utils.py:49-66`,

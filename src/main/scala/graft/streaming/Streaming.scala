@@ -76,19 +76,25 @@ object Streaming {
     // it to the stream (on a real cluster: to state volume), and restore
     // the session conf for the batch queries that follow.
     // held until termination: micro-batch planning reads the conf after
-    // start() returns (queries here run sequentially per session)
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
-    try {
-      val q = df.writeStream
-        .queryName(name)
-        .outputMode(mode)
-        .format("memory")
-        .option("checkpointLocation", checkpoint)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    // start() returns. The object-level lock serializes overlapping
+    // runAvailableNow calls — without it two streams could restore each
+    // other's 'prev' and leave the reduced setting as the session value
+    // (batch queries planned concurrently on the same session would
+    // still see the override; this engine drives them sequentially)
+    Streaming.synchronized {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+      try {
+        val q = df.writeStream
+          .queryName(name)
+          .outputMode(mode)
+          .format("memory")
+          .option("checkpointLocation", checkpoint)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     val sink = spark.table(name)
     val rows = java.util.Arrays.asList(sink.collect(): _*)
     val result = spark.createDataFrame(rows, sink.schema)
