@@ -46,6 +46,27 @@ class PercentileSpec extends AnyFunSuite {
     assert(out == Map("a" -> 1.0, "b" -> 2.5, "c" -> 7.0))
   }
 
+  test("distributed selection is invariant to the shuffle partition count") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.engine.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    def run(): Map[String, (Double, Double)] =
+      graft.engine.Percentiles
+        .exactByKey(df, "l_returnflag", "l_extendedprice",
+          Seq(0.5, 0.9), Seq("med", "p90"))
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+        .toMap
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val base = run()
+    try {
+      Seq("1", "3", "17").foreach { n =>
+        spark.conf.set(key, n)
+        assert(run() == base, s"result changed at $n shuffle partitions")
+      }
+    } finally spark.conf.set(key, prev)
+  }
+
   test("approx percentiles track the exact ones per group") {
     val exact = byFlag("o35_percentiles")
     val approx = byFlag("x04_approx_percentiles")
