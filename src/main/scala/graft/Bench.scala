@@ -18,6 +18,18 @@ import java.nio.file.{Files, Paths}
   *  - layer materialization (Gold.ensure) is timed separately as
   *    `setup_sec` — it is a run-once pipeline cost, amortized across all
   *    queries, exactly like the reference's nightly CTAS rebuild.
+  *
+  * Round-6 bisect of the round-5 "common-subset regression" (r4 43.8 s →
+  * r5 47.4 s driver-measured, with o26 0.42→1.66 and o34 0.59→1.13):
+  * NOT reproducible. The same binary and data, same machine class, run
+  * twice back-to-back — full 92-query registry vs the exact 73-query
+  * r4 list (`SPARK_GRAFT_BENCH_ONLY`) — gives 36.90 s vs 36.64 s on the
+  * common subset (0.7% apart) with o26 at 0.23-0.25 s in BOTH, and the
+  * o26/o34/t08 sources are untouched since round 4 (git-verified), so
+  * the plans are identical. Registry growth costs nothing; the r5
+  * driver numbers reflect sustained co-located load during that bench
+  * window (both timed passes were slow, so min-of-two couldn't mask
+  * it), not a plan regression.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -41,7 +53,14 @@ object Bench {
     graft.engine.Gold.ensure(spark, sfDir)
     val setupSec = (System.nanoTime() - setup0) / 1e9
 
+    // optional subset run (comma-separated full names or short-id
+    // prefixes) — the bisect lever for attributing cross-round drift to
+    // registry growth vs plan changes: run the CURRENT binary on an
+    // OLD round's query list and diff per-query times.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(s => s.contains(n) || s.contains(n.takeWhile(_ != '_'))))
     names.foreach { n =>  // warm-up, untimed
       try materialize(n) catch { case _: Throwable => () }
     }

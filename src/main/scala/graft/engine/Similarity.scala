@@ -29,18 +29,9 @@ object Similarity {
     * across the cluster (array folds are interpreted per element — the
     * one hot loop in this module that parallelism must cover).
     */
-  private def withNorms(emb: DataFrame): DataFrame = {
-    val p = emb.sparkSession.sparkContext.defaultParallelism
-    // inputFiles = logical-plan metadata, so the file-backed probe costs
-    // no RDD plan conversion; a NON-file-backed frame (cached/in-memory,
-    // where inputFiles is empty) falls back to the rdd partition count
-    // rather than paying an unconditional repartition shuffle
-    val files = emb.inputFiles.length
-    val enough = if (files > 0) files >= p else emb.rdd.getNumPartitions >= p
-    val spread = if (enough) emb else emb.repartition(p)
-    spread.withColumn("v", VectorOps.asDouble(col("embedding")))
+  private def withNorms(emb: DataFrame): DataFrame =
+    Spread(emb).withColumn("v", VectorOps.asDouble(col("embedding")))
       .withColumn("n", VectorOps.norm(col("v")))
-  }
 
   /** Exact top-k cosine neighbors for query vectors `vec_id < nQueries`
     * (self excluded) — bit-identical to DuckDB `list_cosine_similarity`

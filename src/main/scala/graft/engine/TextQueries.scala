@@ -36,7 +36,10 @@ object TextQueries {
     "o25_quality_score" -> ((s, d) => {
       val stopRatio = size(filter(toks, t => t.isin(stopwords: _*))).cast("double") /
         size(toks).cast("double")
-      documents(s, d).repartition(s.sparkContext.defaultParallelism).select(
+      // gated spread (shared [[Spread]] probe): the regex-heavy scoring
+      // wants every core on a single-split corpus, but an ALREADY
+      // parallel 100 TB corpus must not pay a full-shuffle for it
+      Spread(documents(s, d)).select(
         col("doc_id"),
         size(toks).as("n_tokens"),
         size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))

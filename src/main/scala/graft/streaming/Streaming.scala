@@ -52,15 +52,24 @@ object Streaming {
       .select(col("window.start").as("hour"), col("n_events"), col("total_value"))
 
   /** Run a (finite) streaming frame to completion with
-    * `Trigger.AvailableNow` into a memory sink; returns the sink's rows
-    * as a local-relation DataFrame. Complete mode ⇒ the sink holds the
-    * full aggregate, equal to the batch computation over the same input.
+    * `Trigger.AvailableNow`; returns the result as a DISTRIBUTED
+    * parquet-backed DataFrame. Complete mode ⇒ each micro-batch carries
+    * the full aggregate and overwrites the sink dir, so the final dir
+    * equals the batch computation over the same input; Append mode ⇒
+    * batches accumulate.
     *
-    * The checkpoint dir and the memory-sink temp view are RELEASED
-    * before returning — repeated bench/verify invocations must not
-    * accumulate temp dirs and in-JVM sink tables for the session's
-    * lifetime. (The sink result is an aggregate — small by construction
-    * — so localizing it is not a driver-side data move.)
+    * The sink is `foreachBatch` → parquet, NOT a memory sink: a memory
+    * sink materializes every result row in DRIVER heap, which is only
+    * safe when the result is aggregate-small — nothing in this
+    * signature enforces that, and a caller streaming raw rows through
+    * it would driver-OOM at scale. With the parquet sink the result
+    * stays on executors/disk whatever its size (StreamingSpec proves
+    * the read-back plan is a file scan, not a driver-local relation).
+    *
+    * The checkpoint dir is RELEASED before returning — repeated
+    * bench/verify invocations must not accumulate streaming state for
+    * the session's lifetime. The small result dir must outlive the
+    * returned (lazy) frame, so it is deleted on JVM exit instead.
     */
   def runAvailableNow(df: DataFrame, name: String,
                       mode: OutputMode = OutputMode.Complete(),
@@ -68,6 +77,22 @@ object Streaming {
     val spark = df.sparkSession
     val checkpoint = java.nio.file.Files
       .createTempDirectory(s"graft-stream-$name").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory(s"graft-stream-out-$name")
+    // deleteOnExit only removes EMPTY dirs — register a recursive sweep
+    sys.addShutdownHook(
+      graft.engine.Workdirs.deleteRecursively(outDir.toFile)): Unit
+    val out = outDir.toString
+    // Complete: every batch is the full result → overwrite keeps the
+    // last (= final) one. Append: new rows only → accumulate. Update
+    // hands PARTIAL re-emissions per batch — appending them would
+    // double-count and overwriting would drop unchanged groups, so no
+    // file-sink fold is correct; reject it rather than mis-aggregate.
+    val saveMode =
+      if (mode == OutputMode.Complete()) "overwrite"
+      else if (mode == OutputMode.Append()) "append"
+      else throw new IllegalArgumentException(
+        s"runAvailableNow folds batches into files; $mode is not foldable")
     // state-store partition count is fixed at stream start from
     // spark.sql.shuffle.partitions: every stateful operator opens one
     // store per partition (a stream-stream join opens FOUR), so a small
@@ -88,19 +113,21 @@ object Streaming {
         val q = df.writeStream
           .queryName(name)
           .outputMode(mode)
-          .format("memory")
+          .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+            batch.write.mode(saveMode).parquet(out): Unit
+          }
           .option("checkpointLocation", checkpoint)
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
-    val sink = spark.table(name)
-    val rows = java.util.Arrays.asList(sink.collect(): _*)
-    val result = spark.createDataFrame(rows, sink.schema)
-    spark.catalog.dropTempView(name)
     graft.engine.Workdirs.deleteRecursively(new java.io.File(checkpoint))
-    result
+    // a drained-empty stream never fires a batch → no files: surface the
+    // empty result with the input's schema instead of a read error
+    if (!new java.io.File(out).listFiles().exists(_.getName.endsWith(".parquet")))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
+    else spark.read.schema(df.schema).parquet(out)
   }
 
   /** Streaming twin of the Phase-2 incremental bronze ingest (the batch

@@ -66,6 +66,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plans("o10_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("the gated spread probe never shuffles an already-parallel input") {
+    import spark.implicits._
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).size
+    val p = spark.sparkContext.defaultParallelism
+    // already at >= defaultParallelism partitions: Spread must be the
+    // identity — exactly the Exchanges the input plan had, none added
+    val wide = (1 to 1000).toDF("x").repartition(p).filter($"x" > 0)
+    assert(exchanges(graft.engine.Spread(wide)) == exchanges(wide),
+      "Spread added an Exchange to an already-parallel input")
+    // and a single-split input DOES get spread (the probe's other arm)
+    val narrow = (1 to 10).toDF("x").coalesce(1)
+    assert(exchanges(graft.engine.Spread(narrow)) > exchanges(narrow),
+      "Spread skipped a single-split input")
+  }
+
   test("month predicates on the gold fact prune partitions, not just rows") {
     import org.apache.spark.sql.functions.col
     val factDir = s"${graft.engine.Gold.ensure(spark, sf)}/fact_sales"

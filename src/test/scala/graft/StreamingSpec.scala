@@ -95,6 +95,43 @@ class StreamingSpec extends AnyFunSuite {
       s"only user 1 pairs within 30 minutes, got $out")
   }
 
+  test("runAvailableNow never lands the result on the driver, even unaggregated") {
+    // a RAW (non-aggregated) stream of many rows through runAvailableNow:
+    // with the old memory sink every row materialized in driver heap; the
+    // parquet foreachBatch sink keeps them on executors/disk. Proof: the
+    // returned frame's plan is a FILE SCAN, not a driver-local relation,
+    // and the rows round-trip intact.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val n = 50000
+    source.addData(1L to n: _*)
+    val out = Streaming.runAvailableNow(
+      source.toDS().toDF("id"),
+      "streaming_spec_raw_passthrough",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("LocalRelation"),
+      s"result must be file-backed, not a driver-local relation:\n$plan")
+    assert(out.inputFiles.nonEmpty, "result must read back from sink files")
+    assert(out.count() == n)
+    assert(out.agg(org.apache.spark.sql.functions.sum("id")).head().getLong(0)
+      == n.toLong * (n + 1) / 2)
+  }
+
+  test("runAvailableNow rejects Update mode instead of mis-folding partial emissions") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    source.addData(1L, 2L)
+    intercept[IllegalArgumentException] {
+      Streaming.runAvailableNow(
+        source.toDS().toDF("id").groupBy("id").count(),
+        "streaming_spec_update_reject",
+        org.apache.spark.sql.streaming.OutputMode.Update())
+    }
+  }
+
   test("advanceSession folds late within-watermark events without moving bounds backwards") {
     import graft.streaming.Streaming.{SessionState, advanceSession}
     val gap = 30L * 60 * 1000000
