@@ -32,6 +32,19 @@ import java.nio.file.{Files, Paths}
   * it), not a plan regression.
   */
 object Bench {
+
+  /** Fold a query's timed passes into one verdict: the MIN over
+    * successful passes, or — only when EVERY pass failed — the first
+    * error. A transient single-pass failure must not report a fast-fail
+    * duration as the query's time, nor mark a succeeded query as an
+    * error (the round-4 advice race; unit-locked in BenchFoldSpec).
+    */
+  def foldPasses(passes: Seq[Either[String, Double]]): Either[String, Double] = {
+    val ok = passes.collect { case Right(t) => t }
+    if (ok.isEmpty) Left(passes.head.left.getOrElse("unknown"))
+    else Right(ok.min)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -83,12 +96,10 @@ object Bench {
     // transient single-pass failure must not report a fast-fail duration
     // as the query's time, nor a succeeded query as an error.
     val results: Seq[(String, Option[Double])] = names.map { n =>
-      val passes = Seq(timeOne(n), timeOne(n))
-      val ok = passes.collect { case Right(t) => t }
-      if (ok.isEmpty) {
-        errors(n) = passes.head.left.getOrElse("unknown")
-        n -> None
-      } else n -> Some(ok.min)
+      foldPasses(Seq(timeOne(n), timeOne(n))) match {
+        case Left(err) => errors(n) = err; n -> None
+        case Right(t)  => n -> Some(t)
+      }
     }
     // The driver keeps only the last ~2000 chars of sbt output, so the
     // stdout JSON line must fit that window in full: per-query times at

@@ -46,9 +46,8 @@ object Gold {
     */
   def ensure(spark: SparkSession, sfDir: String): String =
     Workdirs.materializeOnce("graft-layers", sfDir) { dir =>
-      import scala.concurrent.{Await, Future}
+      import scala.concurrent.Future
       import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
       // fail-fast quality gate between bronze and silver (§2.11): one
       // aggregation pass per table; a violation aborts the whole
       // materialization before anything is written. The gated silvers
@@ -84,12 +83,8 @@ object Gold {
       // the first error while sibling writes are still running would let
       // a retry start a second overwrite of the same paths concurrently
       // with the stragglers of the failed attempt
-      val settled = writes.map(_.map(_ => Option.empty[Throwable])
-        .recover { case e => Some(e) })
-      try {
-        val outcomes = Await.result(Future.sequence(settled), Duration.Inf)
-        outcomes.flatten.headOption.foreach(e => throw e)
-      } finally { so.unpersist(); sl.unpersist() }
+      try Workdirs.settleAll(writes)
+      finally { so.unpersist(); sl.unpersist() }
     }
 
   def silverOrders(spark: SparkSession, sfDir: String): DataFrame =

@@ -46,4 +46,20 @@ object Workdirs {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete(): Unit
   }
+
+  /** Await EVERY future — stragglers included — then rethrow the first
+    * failure (if any). Rethrowing on the first error while sibling jobs
+    * are still running would let a caller's retry overlap the failed
+    * attempt's live writes on the same paths (the round-4 advice race;
+    * unit-locked in GoldSpec).
+    */
+  def settleAll(futures: Seq[scala.concurrent.Future[_]])(
+      implicit ec: scala.concurrent.ExecutionContext): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val settled = futures.map(_.map(_ => Option.empty[Throwable])
+      .recover { case e => Some(e) })
+    Await.result(Future.sequence(settled), Duration.Inf)
+      .flatten.headOption.foreach(e => throw e)
+  }
 }
