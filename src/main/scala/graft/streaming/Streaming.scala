@@ -56,7 +56,9 @@ object Streaming {
     * parquet-backed DataFrame. Complete mode ⇒ each micro-batch carries
     * the full aggregate and overwrites the sink dir, so the final dir
     * equals the batch computation over the same input; Append mode ⇒
-    * batches accumulate.
+    * batches accumulate, one batchId-named subdir each, so a replayed
+    * micro-batch (foreachBatch is at-least-once) overwrites its own
+    * subdir instead of appending duplicates.
     *
     * The sink is `foreachBatch` → parquet, NOT a memory sink: a memory
     * sink materializes every result row in DRIVER heap, which is only
@@ -75,24 +77,26 @@ object Streaming {
                       mode: OutputMode = OutputMode.Complete(),
                       statePartitions: Int = 8): DataFrame = {
     val spark = df.sparkSession
+    // Complete: every batch is the full result → overwrite keeps the
+    // last (= final) one. Append: new rows only → each batch lands in
+    // its own batchId-named subdir, OVERWRITTEN on a micro-batch replay
+    // (foreachBatch is at-least-once: a retry after a partial write
+    // must converge, not append duplicates). Update hands PARTIAL
+    // re-emissions per batch — appending them would double-count and
+    // overwriting would drop unchanged groups, so no file-sink fold is
+    // correct; reject it BEFORE any temp dir exists so a rejected call
+    // leaks nothing.
+    val complete =
+      if (mode == OutputMode.Complete()) true
+      else if (mode == OutputMode.Append()) false
+      else throw new IllegalArgumentException(
+        s"runAvailableNow folds batches into files; $mode is not foldable")
     val checkpoint = java.nio.file.Files
       .createTempDirectory(s"graft-stream-$name").toString
     val outDir = java.nio.file.Files
       .createTempDirectory(s"graft-stream-out-$name")
-    // deleteOnExit only removes EMPTY dirs — register a recursive sweep
-    sys.addShutdownHook(
-      graft.engine.Workdirs.deleteRecursively(outDir.toFile)): Unit
+    releaseOnExit(outDir.toFile)
     val out = outDir.toString
-    // Complete: every batch is the full result → overwrite keeps the
-    // last (= final) one. Append: new rows only → accumulate. Update
-    // hands PARTIAL re-emissions per batch — appending them would
-    // double-count and overwriting would drop unchanged groups, so no
-    // file-sink fold is correct; reject it rather than mis-aggregate.
-    val saveMode =
-      if (mode == OutputMode.Complete()) "overwrite"
-      else if (mode == OutputMode.Append()) "append"
-      else throw new IllegalArgumentException(
-        s"runAvailableNow folds batches into files; $mode is not foldable")
     // state-store partition count is fixed at stream start from
     // spark.sql.shuffle.partitions: every stateful operator opens one
     // store per partition (a stream-stream join opens FOUR), so a small
@@ -106,28 +110,59 @@ object Streaming {
     // other's 'prev' and leave the reduced setting as the session value
     // (batch queries planned concurrently on the same session would
     // still see the override; this engine drives them sequentially)
-    Streaming.synchronized {
+    try Streaming.synchronized {
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
       try {
         val q = df.writeStream
           .queryName(name)
           .outputMode(mode)
-          .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-            batch.write.mode(saveMode).parquet(out): Unit
+          .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+            // overwrite in BOTH modes makes a replayed batch idempotent:
+            // Complete replaces the whole (single-dir) result, Append
+            // replaces only its own batch's subdir
+            val target = if (complete) out else s"$out/batch-$batchId"
+            batch.write.mode("overwrite").parquet(target): Unit
           }
           .option("checkpointLocation", checkpoint)
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    }
-    graft.engine.Workdirs.deleteRecursively(new java.io.File(checkpoint))
+    } finally
+      // released on failure too — a crashed stream must not park its
+      // state store + WAL on disk for the session's lifetime
+      graft.engine.Workdirs.deleteRecursively(new java.io.File(checkpoint))
     // a drained-empty stream never fires a batch → no files: surface the
-    // empty result with the input's schema instead of a read error
-    if (!new java.io.File(out).listFiles().exists(_.getName.endsWith(".parquet")))
+    // empty result with the input's schema instead of a read error.
+    // (recursive: Append mode's results live in batch-<id> subdirs)
+    def hasParquet(f: java.io.File): Boolean =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).exists(hasParquet)
+      else f.getName.endsWith(".parquet")
+    if (!hasParquet(new java.io.File(out)))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
-    else spark.read.schema(df.schema).parquet(out)
+    else spark.read.schema(df.schema)
+      .option("recursiveFileLookup", "true").parquet(out)
+  }
+
+  /** All sink result dirs, swept by ONE shutdown hook — per-call
+    * `sys.addShutdownHook` would accumulate a hook (thread object) per
+    * stream for the session's lifetime. The dirs themselves persist
+    * until JVM exit BY CONTRACT: the returned frame is lazy, so the
+    * files must outlive the call — for raw (non-aggregate) streams that
+    * is real disk for the session; callers holding large results should
+    * copy them to a dir they own and drop the reference.
+    */
+  private val sinkDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.io.File]()
+  private lazy val sweepHookInstalled: Unit =
+    sys.addShutdownHook {
+      sinkDirs.forEach(d => graft.engine.Workdirs.deleteRecursively(d))
+    }: Unit
+  private def releaseOnExit(dir: java.io.File): Unit = {
+    sweepHookInstalled
+    sinkDirs.add(dir): Unit
   }
 
   /** Streaming twin of the Phase-2 incremental bronze ingest (the batch

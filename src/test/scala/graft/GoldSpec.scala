@@ -39,4 +39,32 @@ class GoldSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 520)
     assert(spark.read.parquet(dir).select("id").distinct().count() == 520)
   }
+
+  test("settleAll waits for stragglers before rethrowing the first failure") {
+    import scala.concurrent.{ExecutionContext, Future, Promise}
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val stragglerDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val release = Promise[Unit]()
+    val failed = Future.failed[Unit](new RuntimeException("boom"))
+    val straggler = release.future.map { _ => stragglerDone.set(true) }
+    // release the straggler AFTER settleAll is already blocked on it —
+    // if settleAll rethrew on the first failure it would return before
+    // the flag flips, and a caller's retry would overlap the live write
+    new Thread(() => { Thread.sleep(200); release.success(()): Unit }).start()
+    val e = intercept[RuntimeException] {
+      graft.engine.Workdirs.settleAll(Seq(failed, straggler))
+    }
+    assert(e.getMessage == "boom")
+    assert(stragglerDone.get(),
+      "settleAll rethrew while a sibling future was still in flight")
+  }
+
+  test("settleAll with no failures returns after all futures complete") {
+    import scala.concurrent.{ExecutionContext, Future}
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    graft.engine.Workdirs.settleAll(
+      (1 to 4).map(_ => Future { n.incrementAndGet(): Unit }))
+    assert(n.get() == 4)
+  }
 }

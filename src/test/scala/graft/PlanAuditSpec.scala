@@ -80,6 +80,22 @@ class PlanAuditSpec extends AnyFunSuite {
     val narrow = (1 to 10).toDF("x").coalesce(1)
     assert(exchanges(graft.engine.Spread(narrow)) > exchanges(narrow),
       "Spread skipped a single-split input")
+    // the probe reads PLANNED partitions, not file counts: a file-backed
+    // frame coalesced below parallelism is serialized no matter how many
+    // files back it — a file-count probe would wave it through
+    val dir = TestSpark.tmpDir("spread-coalesced")
+    (1 to 1000).toDF("x").repartition(p).write.mode("overwrite").parquet(dir)
+    val filesBacked = spark.read.parquet(dir)
+    assert(filesBacked.inputFiles.length >= 2, "need a multi-file fixture")
+    val squeezed = filesBacked.coalesce(1)
+    assert(exchanges(graft.engine.Spread(squeezed)) > exchanges(squeezed),
+      "Spread must re-spread a coalesced file-backed frame (planned=1)")
+    // while the same multi-file scan left alone stays un-shuffled iff
+    // its planned split count already reaches parallelism
+    val planned = filesBacked.rdd.getNumPartitions
+    if (planned >= p)
+      assert(exchanges(graft.engine.Spread(filesBacked)) == exchanges(filesBacked),
+        "Spread shuffled an already-parallel file scan")
   }
 
   test("month predicates on the gold fact prune partitions, not just rows") {

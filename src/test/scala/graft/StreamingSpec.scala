@@ -114,6 +114,12 @@ class StreamingSpec extends AnyFunSuite {
     assert(!plan.contains("LocalRelation"),
       s"result must be file-backed, not a driver-local relation:\n$plan")
     assert(out.inputFiles.nonEmpty, "result must read back from sink files")
+    // Append-mode batches land in batchId-named subdirs (each one
+    // OVERWRITTEN on a micro-batch replay — foreachBatch is
+    // at-least-once, so an append-to-root sink would duplicate rows on
+    // retry; the subdir overwrite makes the replay idempotent)
+    assert(out.inputFiles.forall(_.contains("/batch-")),
+      s"append batches must write to batch-<id> subdirs, got ${out.inputFiles.head}")
     assert(out.count() == n)
     assert(out.agg(org.apache.spark.sql.functions.sum("id")).head().getLong(0)
       == n.toLong * (n + 1) / 2)
@@ -124,12 +130,23 @@ class StreamingSpec extends AnyFunSuite {
     val source =
       org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
     source.addData(1L, 2L)
+    // the rejection happens BEFORE any temp dir is created — a rejected
+    // call must not leak checkpoint/out dirs (one per call adds up over
+    // a long session). Compare before/after: /tmp may hold unrelated
+    // residue from other sessions.
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    def dirs(): Set[String] = Option(tmp.listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.contains("streaming_spec_update_reject")).toSet
+    val before = dirs()
     intercept[IllegalArgumentException] {
       Streaming.runAvailableNow(
         source.toDS().toDF("id").groupBy("id").count(),
         "streaming_spec_update_reject",
         org.apache.spark.sql.streaming.OutputMode.Update())
     }
+    val leaked = dirs() -- before
+    assert(leaked.isEmpty,
+      s"rejected call leaked temp dirs: ${leaked.mkString(", ")}")
   }
 
   test("advanceSession folds late within-watermark events without moving bounds backwards") {
