@@ -90,12 +90,59 @@ class PlanAuditSpec extends AnyFunSuite {
     val squeezed = filesBacked.coalesce(1)
     assert(exchanges(graft.engine.Spread(squeezed)) > exchanges(squeezed),
       "Spread must re-spread a coalesced file-backed frame (planned=1)")
-    // while the same multi-file scan left alone stays un-shuffled iff
-    // its planned split count already reaches parallelism
-    val planned = filesBacked.rdd.getNumPartitions
-    if (planned >= p)
-      assert(exchanges(graft.engine.Spread(filesBacked)) == exchanges(filesBacked),
+    // while the same multi-file scan left alone stays un-shuffled. The
+    // fixture FORCES planned >= p (each file its own split, via the
+    // open-cost/partition-bytes confs) so this arm can never pass
+    // vacuously on a box whose planner packs the tiny files together.
+    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val prevOpen = spark.conf.get("spark.sql.files.openCostInBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "1048576")
+      spark.conf.set("spark.sql.files.openCostInBytes", "1048576")
+      val parallelScan = spark.read.parquet(dir)
+      val planned = parallelScan.rdd.getNumPartitions
+      assert(planned >= p, s"fixture too small: planned $planned < parallelism $p")
+      assert(exchanges(graft.engine.Spread(parallelScan)) == exchanges(parallelScan),
         "Spread shuffled an already-parallel file scan")
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+      spark.conf.set("spark.sql.files.openCostInBytes", prevOpen)
+    }
+  }
+
+  test("the spread gate is not fooled by broadcast exchanges or sub-parallel shuffles") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.broadcast
+    val p = spark.sparkContext.defaultParallelism
+    // Spread returns its argument ITSELF when the input is parallel
+    // enough, so reference identity is an exact probe of its decision.
+    // A single-split corpus broadcast-joined to a dim carries a
+    // BroadcastExchange yet executes at one partition: a gate matching
+    // bare `Exchange` waves it through and the per-row hot loop above it
+    // serializes onto one core — the exact failure the gate exists to
+    // prevent.
+    val corpus = (1 to 100).toDF("k").coalesce(1)
+    val joined = corpus.join(broadcast((1 to 5).toDF("k")), "k")
+    assert(joined.queryExecution.executedPlan.toString.contains("BroadcastExchange"),
+      "fixture must carry a broadcast exchange")
+    assert(!(graft.engine.Spread(joined) eq joined),
+      "Spread waved through a broadcast-joined single-split frame")
+    // a shuffle PLANNED below parallelism is not proof of parallelism
+    val narrow = (1 to 1000).toDF("x").repartition(1)
+    assert(!(graft.engine.Spread(narrow) eq narrow),
+      "Spread trusted a 1-partition shuffle exchange")
+    // a coalesce ABOVE a wide shuffle serializes its output: the probe
+    // must read the root's partitioning, not just find-any-exchange
+    val squeezed = (1 to 1000).toDF("x").repartition(p).coalesce(1)
+    assert(!(graft.engine.Spread(squeezed) eq squeezed),
+      "Spread trusted a shuffle hidden under a coalesce(1)")
+    // and a shuffle AT parallelism is accepted from the plan alone
+    val wide = (1 to 1000).toDF("x").repartition(p)
+    assert(graft.engine.Spread(wide) eq wide,
+      "Spread re-shuffled an already-parallel exchange")
+    val grouped = (1 to 1000).toDF("x").groupBy($"x" % 10).count()
+    assert(graft.engine.Spread(grouped) eq grouped,
+      "Spread re-shuffled a grouped aggregate at shuffle.partitions")
   }
 
   test("month predicates on the gold fact prune partitions, not just rows") {
