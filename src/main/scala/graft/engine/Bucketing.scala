@@ -35,17 +35,25 @@ object Bucketing {
       .saveAsTable(table)
   }
 
+  private val built =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
   /** Bucket-aligned fact and customer-dim tables for an sfDir; returns
-    * the (fact, dim) table names.
+    * the (fact, dim) table names. Memoized per (JVM, sfDir, buckets) —
+    * registry queries and suites can call it freely without re-paying
+    * the bucketed write; names carry the sfDir key so different scale
+    * factors in one JVM never clobber each other's buckets.
     */
   def bucketedStar(spark: SparkSession, sfDir: String,
-                   buckets: Int = 8): (String, String) = {
-    val factTable = "fact_sales_bucketed"
-    val dimTable = "dim_customers_bucketed"
-    writeBucketed(Gold.fact(spark, sfDir), factTable, "customer_id", buckets)
-    writeBucketed(
-      Gold.dimCustomer(spark, sfDir).withColumnRenamed("c_custkey", "customer_id"),
-      dimTable, "customer_id", buckets)
-    (factTable, dimTable)
-  }
+                   buckets: Int = 8): (String, String) =
+    built.computeIfAbsent(s"$sfDir|$buckets", _ => {
+      val k = Workdirs.key(sfDir).replace('.', '_')
+      val factTable = s"fact_sales_bkt_${k}_$buckets"
+      val dimTable = s"dim_customers_bkt_${k}_$buckets"
+      writeBucketed(Gold.fact(spark, sfDir), factTable, "customer_id", buckets)
+      writeBucketed(
+        Gold.dimCustomer(spark, sfDir).withColumnRenamed("c_custkey", "customer_id"),
+        dimTable, "customer_id", buckets)
+      (factTable, dimTable)
+    })
 }

@@ -227,6 +227,29 @@ object PipelineQueries {
           xxhash64(col("o_orderpriority")), k = 256).as("n_priorities"))
         .orderBy("o_orderstatus")),
 
+    // bucketed star join (Bucketing.bucketedStar): both sides hash-
+    // bucketed AND sorted on customer_id at write time, so the fact ⋈
+    // dim sort-merge join and the per-customer aggregate above it run
+    // with ZERO shuffle Exchanges (asserted at the plan level in
+    // PlanAuditSpec) — the 100 TB deployment shape where the fact's join
+    // shuffle is paid once at layout time, not per query. hint("merge")
+    // pins the sort-merge path so a small dim can't flip the plan to
+    // broadcast and mask the bucketing proof. Decimal sums keep the
+    // revenue order-free exact across bucket counts.
+    "o51_bucketed_star" -> ((s, d) => {
+      val (factT, dimT) = Bucketing.bucketedStar(s, d)
+      s.table(factT)
+        .join(s.table(dimT).hint("merge"), "customer_id")
+        .groupBy(col("customer_id"), col("customer_state"))
+        .agg(
+          count(lit(1)).as("line_count"),
+          round(sum(col("price").cast("decimal(18,4)") +
+            col("freight_value").cast("decimal(18,4)")), 2).cast("double")
+            .as("revenue"))
+        .orderBy(col("revenue").desc, col("customer_id"))
+        .limit(20)
+    }),
+
     // KMV sketch aggregator (rows-only: approximate by design): distinct
     // customers per priority, estimate next to the exact for inspection
     "x03_sketch_distinct" -> ((s, d) =>
@@ -545,6 +568,21 @@ object PipelineQueries {
     "o50_kmv_exact" ->
       """SELECT o_orderstatus, COUNT(DISTINCT o_orderpriority) AS n_priorities
         |FROM orders GROUP BY o_orderstatus
-        |ORDER BY o_orderstatus""".stripMargin
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "o51_bucketed_star" ->
+      s"""WITH fact AS (${MedallionQueries.factSql}),
+         |dim AS (
+         |  SELECT c.c_custkey AS customer_id, n.n_name AS customer_state
+         |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey)
+         |SELECT f.customer_id, d.customer_state,
+         |       COUNT(*) AS line_count,
+         |       CAST(ROUND(SUM(CAST(f.price AS DECIMAL(18,4)) +
+         |                      CAST(f.freight_value AS DECIMAL(18,4))), 2)
+         |            AS DOUBLE) AS revenue
+         |FROM fact f JOIN dim d ON f.customer_id = d.customer_id
+         |GROUP BY 1, 2
+         |ORDER BY revenue DESC, f.customer_id
+         |LIMIT 20""".stripMargin
   )
 }

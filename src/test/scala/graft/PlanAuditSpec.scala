@@ -145,6 +145,19 @@ class PlanAuditSpec extends AnyFunSuite {
       "Spread re-shuffled a grouped aggregate at shuffle.partitions")
   }
 
+  test("the bucketed star query joins AND aggregates with zero shuffle exchanges") {
+    val plan = plans("o51_bucketed_star")
+    assert(plan.contains("SortMergeJoin"),
+      s"expected a sort-merge join over bucketed scans, got:\n$plan")
+    assert(plan.contains("SelectedBucketsCount"),
+      s"expected bucketed file scans, got:\n$plan")
+    // bucket layout carries the join AND the per-customer aggregate:
+    // not one Exchange anywhere in the plan (broadcast included — the
+    // merge hint pins SMJ so a small dim can't mask the proof)
+    assert(!plan.contains("Exchange"),
+      s"bucketed star must be shuffle-free end-to-end, got:\n$plan")
+  }
+
   test("month predicates on the gold fact prune partitions, not just rows") {
     import org.apache.spark.sql.functions.col
     val factDir = s"${graft.engine.Gold.ensure(spark, sf)}/fact_sales"
