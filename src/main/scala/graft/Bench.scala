@@ -45,6 +45,15 @@ object Bench {
     else Right(ok.min)
   }
 
+  /** The ~10% slowest queries by current time — the set that gets a
+    * third timed pass. Always at least one query; ties broken by name
+    * so the set is deterministic across JVMs.
+    */
+  def slowestDecile(timed: Seq[(String, Double)]): Set[String] = {
+    val n = math.max(1, math.ceil(timed.size / 10.0).toInt)
+    timed.sortBy { case (name, t) => (-t, name) }.take(n).map(_._1).toSet
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -112,7 +121,25 @@ object Bench {
     def rnd(v: Double, s: Int): String =
       BigDecimal(v).setScale(s, BigDecimal.RoundingMode.HALF_UP).toString
     def r3(v: Double): String = rnd(v, 3)
-    val timed = results.collect { case (n, Some(t)) => n -> t }
+    // third timed pass on the slowest decile: min-of-two still lets a
+    // sustained co-located-load window inflate a query when BOTH its
+    // passes land inside it — and the slowest queries dominate the
+    // total, so that is exactly where same-binary cross-round drift up
+    // to 2× was observed (r7→r8, o37 0.97↔2.07 s). One extra pass on
+    // the top ~10% bounds per-query noise there to the min of THREE
+    // independent windows (empirically ≤15% same-binary drift on the
+    // decile, vs 2× before) at ~6% added bench wall-clock; the cheap
+    // 90% keep min-of-two, whose absolute noise is bounded by their
+    // own small magnitudes.
+    val firstTimed = results.collect { case (n, Some(t)) => n -> t }
+    val slowest = slowestDecile(firstTimed)
+    val timed = firstTimed.map {
+      case (n, t) if slowest(n) =>
+        // a failed third pass must not erase two good ones: fold keeps
+        // the min over SUCCESSFUL passes (Right(t) is always present)
+        n -> foldPasses(Seq(Right(t), timeOne(n))).getOrElse(t)
+      case other => other
+    }
     val errJson = errors.map { case (k, v) => Json.quote(k) + ":" + Json.quote(v) }
       .mkString("{", ",", "}")
     val total = timed.map(_._2).sum

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal data generator: `runMain graft.ScaleData [srcDir [destDir [factor]]]`
+  * replicates the driver's sf0.1 tables `factor`× into destDir so the
+  * full bench can be rehearsed one order of magnitude up (the round-5
+  * verdict's sf1 item) without touching the read-only /root/testdata.
+  *
+  * Replication is FK-consistent and distribution-honest:
+  *  - region/nation are fixed dims (TPC-H semantics) — copied as-is;
+  *  - every other table is unioned `factor` times with replica `rep`
+  *    shifting each key column by `rep × stride(key)`, where the stride
+  *    is that key's own `max+1` in the source — so replica key ranges
+  *    never collide, and orders.o_custkey lands on the same shifted
+  *    customer row in every replica (joins keep their 1:N shape and
+  *    per-key group sizes, which is what makes the rehearsal honest:
+  *    a 10× blowup of group COUNT instead would be a skew test, not a
+  *    scale test);
+  *  - documents.text gets a per-replica token suffix on every word:
+  *    shingle sets across replicas become disjoint, so MinHash/SimHash
+  *    near-dup candidate pairs scale ~linearly like real corpus growth
+  *    would, instead of every doc gaining `factor-1` exact clones and
+  *    the in-bucket pair joins exploding quadratically;
+  *  - embeddings.embedding is rotated by `rep` positions — norm-
+  *    preserving and (for these pseudo-random vectors) decorrelating,
+  *    so cosine near-dup pair counts also stay ~linear while brute-force
+  *    and IVF kNN cost scales exactly with corpus size;
+  *  - rep 0 is byte-identical to the source, so every sf0.1 result is a
+  *    subset of the sf1 input.
+  */
+object ScaleData {
+
+  /** Key columns to shift per table, each with the stride source column
+    * it derives from (tables shift FOREIGN keys by the REFERENCED
+    * table's stride so joins stay aligned).
+    */
+  private val keyPlan: Map[String, Seq[(String, (String, String))]] = Map(
+    "customer"   -> Seq("c_custkey" -> ("customer", "c_custkey")),
+    "supplier"   -> Seq("s_suppkey" -> ("supplier", "s_suppkey")),
+    "part"       -> Seq("p_partkey" -> ("part", "p_partkey")),
+    "orders"     -> Seq(
+      "o_orderkey" -> ("orders", "o_orderkey"),
+      "o_custkey"  -> ("customer", "c_custkey")),
+    "lineitem"   -> Seq(
+      "l_orderkey" -> ("orders", "o_orderkey"),
+      "l_partkey"  -> ("part", "p_partkey"),
+      "l_suppkey"  -> ("supplier", "s_suppkey")),
+    "events"     -> Seq(
+      "event_id" -> ("events", "event_id"),
+      "user_id"  -> ("events", "user_id")),
+    "documents"  -> Seq("doc_id" -> ("documents", "doc_id")),
+    "embeddings" -> Seq("vec_id" -> ("embeddings", "vec_id"))
+  )
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val destDir = args.lift(1).getOrElse("testdata-sf1")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def src(t: String): DataFrame =
+      spark.read.parquet(s"$srcDir/$t.parquet")
+
+    // one stride per (table, key): max+1 in the SOURCE, so shifted
+    // replica ranges are disjoint and FK targets line up across tables
+    val strides: Map[(String, String), Long] =
+      keyPlan.values.flatten.map(_._2).toSeq.distinct.map { case ref @ (t, c) =>
+        ref -> (src(t).agg(max(col(c)).cast("long")).head.getLong(0) + 1L)
+      }.toMap
+
+    def replicate(t: String): DataFrame = {
+      val base = src(t)
+      val shifted = keyPlan(t)
+      val reps = base.withColumn("rep", explode(lit((0 until factor).toArray)))
+      val keyed = shifted.foldLeft(reps) { case (df, (key, ref)) =>
+        df.withColumn(key, col(key) + col("rep") * lit(strides(ref)))
+      }
+      val transformed = t match {
+        case "documents" =>
+          // suffix every word for rep>0: shingles across replicas are
+          // disjoint, so near-dup structure grows linearly, not as clones
+          keyed.withColumn("text",
+            when(col("rep") === 0, col("text")).otherwise(
+              array_join(
+                transform(split(col("text"), " "),
+                  w => concat(w, lit("_r"), col("rep"))), " ")))
+            .withColumn("n_chars", length(col("text")))
+        case "embeddings" =>
+          // rotate by rep positions: norm-preserving, decorrelates the
+          // pseudo-random vectors so cosine pairs don't degenerate
+          keyed.withColumn("embedding",
+            when(col("rep") === 0, col("embedding")).otherwise(
+              concat(
+                slice(col("embedding"), col("rep") + 1,
+                  size(col("embedding")) - col("rep")),
+                slice(col("embedding"), lit(1), col("rep")))))
+        case _ => keyed
+      }
+      transformed.drop("rep")
+    }
+
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(destDir))
+    val fixed = Seq("region", "nation")
+    val scaled = keyPlan.keys.toSeq.sorted
+    (fixed ++ scaled).foreach { t =>
+      val out = s"$destDir/$t.parquet"
+      val df = if (fixed.contains(t)) src(t) else replicate(t)
+      // the driver's tables are single parquet FILES; our Tables loader
+      // accepts directories too, so a directory-per-table output is fine
+      // — but keep per-table partition counts proportional to size so
+      // the sf1 scan parallelism resembles a real sf1 export
+      val parts = math.max(1, (df.count() / 150000L).toInt)
+      df.repartition(parts).write.mode("overwrite").parquet(out)
+      println(s"[scale] $t -> $out ($parts files)")
+    }
+    spark.stop()
+  }
+}

@@ -28,4 +28,16 @@ class BenchFoldSpec extends AnyFunSuite {
     val folded = Bench.foldPasses(Seq(Left("died at 0.01s"), Right(4.0)))
     assert(folded == Right(4.0))
   }
+
+  test("slowest decile: ceil(n/10) names, slowest-first, deterministic ties") {
+    val timed = (1 to 20).map(i => f"q$i%02d" -> i.toDouble)
+    // 20 queries -> decile of 2: the two largest times
+    assert(Bench.slowestDecile(timed) == Set("q19", "q20"))
+    // always at least one, even for a tiny registry
+    assert(Bench.slowestDecile(Seq("a" -> 1.0)) == Set("a"))
+    assert(Bench.slowestDecile(Seq("a" -> 1.0, "b" -> 2.0)) == Set("b"))
+    // ties broken by name so the refined set is identical across JVMs
+    assert(Bench.slowestDecile(
+      (1 to 20).map(i => f"q$i%02d" -> 5.0)) == Set("q01", "q02"))
+  }
 }
