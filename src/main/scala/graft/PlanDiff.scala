@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ReusedExchangeExec, ShuffleExchangeLike}
+import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+
+/** Executed-plan strategy summary: `runMain graft.PlanDiff <sfDir> [query ...]`
+  * EXECUTES each named registry query (noop sink) and prints one line per
+  * query with the join strategies, shuffle count, and broadcast count of
+  * the FINAL adaptive plan — the ground truth for "which plans flip when
+  * the data grows 10×" (static explain shows the pre-AQE guess; the
+  * sf0.1→sf1 rehearsal needs the post-runtime-stats answer: broadcast→SMJ
+  * demotions, skew-join splits, coalesced shuffle reads).
+  *
+  * AQE wraps materialized stages in leaf QueryStageExec nodes, so a plain
+  * `plan.collect` stops at stage boundaries; the walk below recurses
+  * through stages, reused exchanges, and nested adaptive plans.
+  */
+object PlanDiff {
+
+  def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    val kids: Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec        => Seq(q.plan)
+      case r: ReusedExchangeExec    => Seq(r.child)
+      case other                    => other.children
+    }
+    p +: kids.flatMap(flatten)
+  }
+
+  def summarize(plan: SparkPlan): String = {
+    val nodes = flatten(plan)
+    val joins = nodes.collect {
+      case j: BroadcastHashJoinExec       => s"BHJ(${j.joinType})"
+      case j: SortMergeJoinExec           => s"SMJ(${j.joinType})"
+      case j: ShuffledHashJoinExec        => s"SHJ(${j.joinType})"
+      case j: BroadcastNestedLoopJoinExec => s"BNLJ(${j.joinType})"
+      case j: BaseJoinExec                => s"${j.nodeName}(${j.joinType})"
+    }
+    val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeLike])
+    val broadcasts = nodes.count(_.isInstanceOf[BroadcastExchangeLike])
+    val skewed = nodes.collect { case j: SortMergeJoinExec if j.isSkewJoin => j }.size
+    s"joins=[${joins.mkString(",")}] shuffles=$shuffles broadcasts=$broadcasts" +
+      (if (skewed > 0) s" skewJoins=$skewed" else "")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names =
+      if (args.length > 1) args.drop(1).toSeq
+      else SparkEntry.queries.keys.toSeq.sorted
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { n =>
+      SparkEntry.queries.get(n) match {
+        case None => println(s"[plandiff] $n: (unknown query)")
+        case Some(fn) =>
+          try {
+            val df = fn(spark, sfDir)
+            df.write.format("noop").mode("overwrite").save()
+            println(s"[plandiff] $n: ${summarize(df.queryExecution.executedPlan)}")
+          } catch {
+            case e: Throwable => println(s"[plandiff] $n: FAILED ${e.getMessage}")
+          }
+      }
+    }
+    spark.stop()
+  }
+}

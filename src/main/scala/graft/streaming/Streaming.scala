@@ -21,20 +21,37 @@ object Streaming {
 
   /** Streaming scan of the events table (nanos timestamps read as longs
     * and truncated to µs exactly like [[graft.engine.Tables.events]]).
-    * The file stream source wants a DIRECTORY to watch; testdata ships a
-    * single file, so it is staged (copied once per JVM) into one — in a
-    * real deployment the landing directory plays this role and new files
-    * are picked up per micro-batch.
+    * The file stream source wants a DIRECTORY to watch; the table is
+    * staged (copied once per JVM) into one — in a real deployment the
+    * landing directory plays this role and new files are picked up per
+    * micro-batch. The source table may be a single parquet file (driver
+    * testdata) or a directory of part files (the sf1 rehearsal export) —
+    * a naive single-file copy of a DIRECTORY creates an empty dir and
+    * the stream fails schema inference, so each part file is staged
+    * individually, through the Hadoop FileSystem API (sfDir is local in
+    * the sandbox but HDFS/S3 on a real cluster).
     */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = graft.engine.Workdirs.materializeOnce("graft-streaming", sfDir) { root =>
-      val d = new java.io.File(s"$root/events")
-      d.mkdirs()
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-        d.toPath.resolve("events.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+      val conf = spark.sessionState.newHadoopConf()
+      val src = new org.apache.hadoop.fs.Path(s"$sfDir/events.parquet")
+      val srcFs = src.getFileSystem(conf)
+      val dst = new org.apache.hadoop.fs.Path(s"$root/events")
+      val dstFs = dst.getFileSystem(conf)
+      dstFs.mkdirs(dst): Unit
+      val parts =
+        if (srcFs.getFileStatus(src).isDirectory)
+          srcFs.listStatus(src)
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+            .map(_.getPath)
+        else Array(src)
+      require(parts.nonEmpty, s"no parquet files under $src")
+      parts.zipWithIndex.foreach { case (p, i) =>
+        org.apache.hadoop.fs.FileUtil.copy(
+          srcFs, p, dstFs, new org.apache.hadoop.fs.Path(dst, f"part-$i%05d.parquet"),
+          false, true, conf): Unit
+      }
     } + "/events"
     val schema = spark.read.parquet(dir).schema
     spark.readStream.schema(schema).parquet(dir)
