@@ -43,16 +43,20 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     *
-    * Three registry entries are INTENTIONALLY absent here and land in
-    * CORRECTNESS as `no_oracle` — they are approximate-by-design
-    * sketches whose answers are engine-specific, and each has an
-    * oracle-checked EXACT-REGIME twin that pins the same code path:
-    *   - x03_sketch_distinct   (KMV estimate)      → twin o50_kmv_exact
+    * Two registry entries are INTENTIONALLY absent here and land in
+    * CORRECTNESS as `no_oracle` — approximate sketches whose answers
+    * depend on engine-internal state (Greenwald-Khanna summaries; merge-
+    * order-dependent Misra-Gries evictions), each with an oracle-checked
+    * EXACT-REGIME twin that pins the same code path:
     *   - x04_approx_percentiles (GK quantile sketch) → twin o35_percentiles
     *   - x05_heavy_hitters     (Misra-Gries)        → twin o44_heavyhitters_exact
     * Their error bounds vs the exact answers are property-tested in
     * PercentileSpec / SketchSpec. `no_oracle` here means "checked by a
-    * stronger pairing than row hashes", not "unchecked".
+    * stronger pairing than row hashes", not "unchecked". (x03's KMV
+    * estimate used to be in this list, but the estimate is a
+    * deterministic function of the bottom-k portable hashes, so since
+    * round 10 the oracle recomputes it exactly — see
+    * PipelineQueries.oracles.)
     */
   def oracleSql: Map[String, String] =
     MedallionQueries.oracles ++

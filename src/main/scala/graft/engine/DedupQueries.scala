@@ -26,9 +26,12 @@ object DedupQueries {
 
     // bottom-4 portable shingle-hash fingerprint per doc (winnowing-style
     // content fingerprint — reference `scripts/esplosione_dati.py:50-103`
-    // made content-local and distributable)
+    // made content-local and distributable). Spread, not repartition: the
+    // hash pass must fan out when the corpus arrives as one split, but an
+    // already-parallel scan (any real deployment) must not pay a full
+    // shuffle for a map-only stage.
     "o27_doc_fingerprint" -> ((s, d) =>
-      documents(s, d).repartition(s.sparkContext.defaultParallelism).select(
+      Spread(documents(s, d)).select(
         col("doc_id"),
         array_join(
           slice(array_sort(array_distinct(

@@ -219,7 +219,8 @@ object PipelineQueries {
     // KMV in its EXACT regime (the o44 pattern applied to the distinct
     // sketch): below k distinct hashes the bottom-k buffer IS the
     // distinct set, so the estimate equals COUNT(DISTINCT) — which the
-    // oracle pins. x03 keeps the approximate regime rows-only.
+    // oracle pins. x03 covers the approximate regime (also hash-checked,
+    // via the portable-hash oracle).
     "o50_kmv_exact" -> ((s, d) =>
       Tables.orders(s, d)
         .groupBy(col("o_orderstatus"))
@@ -250,15 +251,21 @@ object PipelineQueries {
         .limit(20)
     }),
 
-    // KMV sketch aggregator (rows-only: approximate by design): distinct
-    // customers per priority, estimate next to the exact for inspection
+    // KMV sketch aggregator in its APPROXIMATE regime, yet hash-checked:
+    // the estimate is a deterministic function of the bottom-256 distinct
+    // hashes, so feeding the PORTABLE md5 hash (instead of JVM-only
+    // xxhash64) lets the DuckDB oracle recompute the identical estimate —
+    // same kth-smallest unsigned hash, same IEEE double fraction, same
+    // floor(x+0.5) rounding. Distinct customers per priority, estimate
+    // next to the exact.
     "x03_sketch_distinct" -> ((s, d) =>
       Tables.orders(s, d)
         .groupBy(col("o_orderpriority"))
         .agg(
           countDistinct(col("o_custkey")).as("exact_customers"),
           graft.functions.KmvSketch.approxDistinct(
-            xxhash64(col("o_custkey")), k = 256).as("approx_customers"))
+            graft.functions.PortableHashFunctions.md5Hash64(
+              col("o_custkey").cast("string")), k = 256).as("approx_customers"))
         .orderBy("o_orderpriority")),
 
     // J6: composite-key anti-join — items with no (order_id, line_id)
@@ -569,6 +576,39 @@ object PipelineQueries {
       """SELECT o_orderstatus, COUNT(DISTINCT o_orderpriority) AS n_priorities
         |FROM orders GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    // KMV estimate recomputed from scratch in SQL: same portable hash
+    // (md5 bytes 8..15 big-endian, unsigned), same kth-smallest-of-256
+    // selection, same IEEE arithmetic as KmvSketch.finish — fraction =
+    // (u - 2^63) as double / 2^64 + 0.5 (the aggregator's sign-flipped
+    // buffer order IS unsigned order), estimate = floor(255/fraction +
+    // 0.5) (Scala math.round). Below 256 distinct hashes the buffer is
+    // the distinct set, estimate = count.
+    "x03_sketch_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT o_orderpriority,
+        |         CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 17, 16)) AS UBIGINT) AS u
+        |  FROM orders),
+        |r AS (
+        |  SELECT o_orderpriority, u,
+        |         ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY u) AS rn,
+        |         COUNT(*) OVER (PARTITION BY o_orderpriority) AS nd
+        |  FROM h),
+        |est AS (
+        |  SELECT o_orderpriority,
+        |         CASE WHEN nd < 256 THEN nd
+        |              ELSE CAST(FLOOR(255.0 / (
+        |                     CAST(CAST(u AS HUGEINT) - 9223372036854775808 AS DOUBLE)
+        |                     / 1.8446744073709552e19 + 0.5) + 0.5) AS BIGINT)
+        |         END AS approx_customers
+        |  FROM r
+        |  WHERE rn = CASE WHEN nd < 256 THEN nd ELSE 256 END),
+        |ex AS (
+        |  SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS exact_customers
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT ex.o_orderpriority, ex.exact_customers, est.approx_customers
+        |FROM ex JOIN est USING (o_orderpriority)
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "o51_bucketed_star" ->
       s"""WITH fact AS (${MedallionQueries.factSql}),
