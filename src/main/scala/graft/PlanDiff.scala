@@ -7,10 +7,12 @@ import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ReusedExc
 import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
 
 /** Executed-plan strategy summary: `runMain graft.PlanDiff <sfDir> [query ...]`
-  * EXECUTES each named registry query (noop sink) and prints one line per
-  * query with the join strategies, shuffle count, and broadcast count of
-  * the FINAL adaptive plan — the ground truth for "which plans flip when
-  * the data grows 10×" (static explain shows the pre-AQE guess; the
+  * EXECUTES each named registry query (draining its own QueryExecution's
+  * toRdd — NOT a sink, which would execute a different QueryExecution and
+  * leave this one's adaptive plan initial) and prints one line per query
+  * with the join strategies, shuffle count, and broadcast count of the
+  * FINAL adaptive plan — the ground truth for "which plans flip when the
+  * data grows 10×" (static explain shows the pre-AQE guess; the
   * sf0.1→sf1 rehearsal needs the post-runtime-stats answer: broadcast→SMJ
   * demotions, skew-join splits, coalesced shuffle reads).
   *
@@ -67,8 +69,16 @@ object PlanDiff {
         case Some(fn) =>
           try {
             val df = fn(spark, sfDir)
-            df.write.format("noop").mode("overwrite").save()
-            println(s"[plandiff] $n: ${summarize(df.queryExecution.executedPlan)}")
+            // Execute THIS df's own QueryExecution: a sink (noop write)
+            // would plan a FRESH QueryExecution for the write command and
+            // leave df's adaptive plan un-executed, so summarize() would
+            // read the INITIAL plan — static join guesses, no runtime
+            // coalescing, skew splits never visible. toRdd is the same
+            // lazy plan the write would wrap; draining it drives AQE to
+            // the real final plan without collecting rows to the driver.
+            val qe = df.queryExecution
+            qe.toRdd.foreachPartition(_ => ())
+            println(s"[plandiff] $n: ${summarize(qe.executedPlan)}")
           } catch {
             case e: Throwable => println(s"[plandiff] $n: FAILED ${e.getMessage}")
           }
