@@ -251,6 +251,26 @@ object PipelineQueries {
         .limit(20)
     }),
 
+    // bottom-k-by-hash sampled percentiles: approximate quantiles from a
+    // fixed-size mergeable buffer like x04, but the sample membership is
+    // a deterministic function of the portable row hash — so unlike the
+    // GK sketch the estimate is exactly reproducible in SQL and this
+    // query is hash-checked despite being approximate. k=1024 on ~20k-row
+    // groups at sf0.01: genuinely approximate regime, rank error
+    // O(1/sqrt(k)).
+    "x06_sampled_percentiles" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(graft.functions.BottomKSample.percentiles(
+            graft.functions.PortableHashFunctions.md5Hash64(
+              concat(col("l_orderkey").cast("string"), lit("|"),
+                col("l_linenumber").cast("string"))),
+            col("l_extendedprice"), k = 1024, ps = Seq(0.5, 0.9)).as("qs"))
+        .select(col("l_returnflag"),
+          col("qs").getItem(0).as("median_price_est"),
+          col("qs").getItem(1).as("p90_price_est"))
+        .orderBy("l_returnflag")),
+
     // KMV sketch aggregator in its APPROXIMATE regime, yet hash-checked:
     // the estimate is a deterministic function of the bottom-256 distinct
     // hashes, so feeding the PORTABLE md5 hash (instead of JVM-only
@@ -576,6 +596,29 @@ object PipelineQueries {
       """SELECT o_orderstatus, COUNT(DISTINCT o_orderpriority) AS n_priorities
         |FROM orders GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    // the sampled-percentile oracle selects the IDENTICAL sample (same
+    // portable row hash, same unsigned (hash, value) order, same k) and
+    // finishes it with quantile_cont — whose interpolation arithmetic is
+    // bit-identical to BottomKSample.finish (the o35/PercentileSpec
+    // equivalence)
+    "x06_sampled_percentiles" ->
+      """WITH h AS (
+        |  SELECT l_returnflag,
+        |         CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|' ||
+        |                                  CAST(l_linenumber AS VARCHAR)), 17, 16)) AS UBIGINT) AS u,
+        |         l_extendedprice AS v
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT l_returnflag, v,
+        |         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY u, v) AS rn
+        |  FROM h)
+        |SELECT l_returnflag,
+        |       quantile_cont(v, 0.5) AS median_price_est,
+        |       quantile_cont(v, 0.9) AS p90_price_est
+        |FROM s WHERE rn <= 1024
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     // KMV estimate recomputed from scratch in SQL: same portable hash
     // (md5 bytes 8..15 big-endian, unsigned), same kth-smallest-of-256

@@ -78,3 +78,103 @@ object KmvSketch {
   def approxDistinct(hashCol: Column, k: Int = 256): Column =
     udaf(aggregator(k), Encoders.scalaLong)(hashCol)
 }
+
+/** Bottom-k-by-hash SAMPLING sketch (min-wise / bottom-k sampling): a
+  * fixed-size mergeable uniform sample of a group — the k rows whose
+  * (sign-flipped row hash, value) pair is lexicographically smallest.
+  * Because membership is decided by the ROW's own hash, the sample is a
+  * DETERMINISTIC function of the data (merge-order-free, partitioning-
+  * free, retry-stable), unlike reservoir sampling — which is what makes
+  * estimates computed from it exactly reproducible by the DuckDB oracle
+  * (`ROW_NUMBER() OVER (ORDER BY u, v) <= k` selects the identical
+  * sample) while still being a uniform sample of the group.
+  *
+  * [[percentiles]] finishes the sample into interpolated quantile
+  * estimates using the same two-sided weighted arithmetic as
+  * [[graft.engine.Percentiles]] / Spark `percentile` / DuckDB
+  * `quantile_cont` (`(c−t)·vf + (t−f)·vc`, `t = p·(n−1)`), so below k
+  * group rows the answer is EXACT and above it the answer is the exact
+  * quantile of a fixed uniform sample — error O(1/sqrt(k)) in rank.
+  *
+  * Scale posture: the shuffle carries ≤ k (hash, value) pairs per group
+  * (map-side partial aggregation bounds every buffer), the same contract
+  * as approx_percentile's GK summary but with a reproducible answer.
+  */
+object BottomKSample {
+
+  /** Parallel arrays sorted by (hash, value) lexicographically; hashes
+    * are sign-flipped so signed order == unsigned order of the original.
+    */
+  final case class Buf(hashes: Array[Long], values: Array[Double])
+
+  private def lessEq(h1: Long, v1: Double, h2: Long, v2: Double): Boolean =
+    h1 < h2 || (h1 == h2 && v1 <= v2)
+
+  def aggregator(k: Int, ps: Seq[Double]): Aggregator[(Long, Double), Buf, Seq[Double]] =
+    new Aggregator[(Long, Double), Buf, Seq[Double]] {
+      def zero: Buf = Buf(Array.empty, Array.empty)
+
+      def reduce(b: Buf, in: (Long, Double)): Buf = {
+        val h = in._1 ^ Long.MinValue
+        val v = in._2
+        val n = b.hashes.length
+        if (n >= k && lessEq(b.hashes(n - 1), b.values(n - 1), h, v)) return b
+        // insertion position: first index with (bh, bv) > (h, v)
+        var lo = 0; var hi = n
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (lessEq(b.hashes(mid), b.values(mid), h, v)) lo = mid + 1 else hi = mid
+        }
+        val outLen = math.min(n + 1, k)
+        val oh = new Array[Long](outLen); val ov = new Array[Double](outLen)
+        System.arraycopy(b.hashes, 0, oh, 0, lo)
+        System.arraycopy(b.values, 0, ov, 0, lo)
+        oh(lo) = h; ov(lo) = v
+        System.arraycopy(b.hashes, lo, oh, lo + 1, outLen - lo - 1)
+        System.arraycopy(b.values, lo, ov, lo + 1, outLen - lo - 1)
+        Buf(oh, ov)
+      }
+
+      def merge(a: Buf, b: Buf): Buf = {
+        val (xh, xv, yh, yv) = (a.hashes, a.values, b.hashes, b.values)
+        val outLen = math.min(xh.length + yh.length, k)
+        val oh = new Array[Long](outLen); val ov = new Array[Double](outLen)
+        var i = 0; var j = 0; var n = 0
+        while (n < outLen) {
+          val takeX = j >= yh.length ||
+            (i < xh.length && lessEq(xh(i), xv(i), yh(j), yv(j)))
+          if (takeX) { oh(n) = xh(i); ov(n) = xv(i); i += 1 }
+          else       { oh(n) = yh(j); ov(n) = yv(j); j += 1 }
+          n += 1
+        }
+        Buf(oh, ov)
+      }
+
+      def finish(b: Buf): Seq[Double] = {
+        val sv = b.values.clone()
+        java.util.Arrays.sort(sv)
+        val n = sv.length
+        if (n == 0) ps.map(_ => Double.NaN)
+        else ps.map { p =>
+          val t = p * (n - 1)
+          val f = math.floor(t)
+          val c = math.ceil(t)
+          if (c == f) sv(f.toInt)
+          else (c - t) * sv(f.toInt) + (t - f) * sv(c.toInt)
+        }
+      }
+
+      def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+      def outputEncoder: Encoder[Seq[Double]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+    }
+
+  /** Untyped-column form: interpolated percentile estimates of
+    * `valueCol` from the bottom-k sample keyed by `hashCol` (a 64-bit
+    * row hash — use the portable md5 hash for oracle parity).
+    */
+  def percentiles(hashCol: Column, valueCol: Column,
+                  k: Int, ps: Seq[Double]): Column =
+    udaf(aggregator(k, ps),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))(hashCol, valueCol)
+}

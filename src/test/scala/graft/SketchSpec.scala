@@ -25,6 +25,43 @@ class SketchSpec extends AnyFunSuite {
       s"estimate $est too far from $n")
   }
 
+  private def sampledQs(df: org.apache.spark.sql.DataFrame, k: Int,
+                        ps: Seq[Double]): Seq[Double] =
+    df.agg(graft.functions.BottomKSample.percentiles(
+        graft.functions.PortableHashFunctions.md5Hash64(col("id").cast("string")),
+        col("v"), k, ps).as("qs"))
+      .select(col("qs")).as[Seq[Double]].collect()(0)
+
+  test("BottomKSample is exact below k and matches the quantile_cont arithmetic") {
+    // 101 values 0..100: p50 = 50 exactly, p73 interpolates between ranks
+    val df = (0 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val qs = sampledQs(df, k = 1024, ps = Seq(0.5, 0.735))
+    assert(qs(0) == 50.0)
+    val t = 0.735 * 100; val f = math.floor(t); val c = math.ceil(t)
+    assert(qs(1) == (if (c == f) f else (c - t) * f + (t - f) * c))
+  }
+
+  test("BottomKSample is partitioning-invariant (deterministic sample)") {
+    val rows = (1 to 5000).map(i => (i.toLong, (i * 37 % 1000).toDouble))
+    val a = sampledQs(rows.toDF("id", "v").repartition(1), k = 256, Seq(0.5, 0.9))
+    val b = sampledQs(rows.toDF("id", "v").repartition(7), k = 256, Seq(0.5, 0.9))
+    val c = sampledQs(scala.util.Random.shuffle(rows).toDF("id", "v")
+      .repartition(3), k = 256, Seq(0.5, 0.9))
+    assert(a == b && b == c, s"sample not deterministic: $a / $b / $c")
+  }
+
+  test("BottomKSample approximates large-group quantiles within rank-error bounds") {
+    // uniform 0..1 values: quantile estimate's VALUE error ≈ rank error
+    // ≈ 1/sqrt(k); allow 4 standard errors
+    val n = 50000; val k = 1024
+    val df = (1 to n).map(i => (i.toLong,
+      ((i * 2654435761L) % 100000).toDouble / 100000.0)).toDF("id", "v")
+    val qs = sampledQs(df, k, Seq(0.5, 0.9))
+    val tol = 4.0 / math.sqrt(k)
+    assert(math.abs(qs(0) - 0.5) < tol, s"p50 ${qs(0)}")
+    assert(math.abs(qs(1) - 0.9) < tol, s"p90 ${qs(1)}")
+  }
+
   private def mgCounts(df: org.apache.spark.sql.DataFrame, k: Int): Map[String, Long] =
     df.agg(HeavyHitters.topTerms(col("t"), k).as("hh"))
       .select(explode(arrays_zip(col("hh.keys"), col("hh.counts"))).as("e"))
