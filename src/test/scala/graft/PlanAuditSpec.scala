@@ -158,6 +158,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"bucketed star must be shuffle-free end-to-end, got:\n$plan")
   }
 
+  test("the MinHash LSH verify shingles only candidate docs (semi-join below the projection)") {
+    // the exact-Jaccard verify must compute shingle sets AFTER a
+    // LeftSemi prune on candidate ids — a plan whose shingle_set
+    // projection reads the bare corpus scan re-shingles every doc and
+    // ships corpus-sized array columns into the verify joins (the shape
+    // this audit exists to keep dead)
+    val plan = plans("o22_minhash_lsh_jaccard")
+    assert(plan.contains("LeftSemi"),
+      s"expected a candidate-id semi-join in the verify stage, got:\n$plan")
+  }
+
   test("month predicates on the gold fact prune partitions, not just rows") {
     import org.apache.spark.sql.functions.col
     val factDir = s"${graft.engine.Gold.ensure(spark, sf)}/fact_sales"
