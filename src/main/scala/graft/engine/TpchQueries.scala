@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions._
   * correlated-EXISTS priority check, Q5 six-table snowflake join, Q10
   * returned-item top-k, Q14 conditional-aggregate ratio, Q18
   * IN-on-aggregated-subquery, Q22 scalar-subquery threshold + anti-join,
-  * and Q2-style correlated-MIN join-back (columns the testdata lacks —
-  * l_commitdate, l_shipmode, partsupp — are adapted, the operator shapes
-  * are not). All scan-dominant: filters push to parquet, aggregates are
+  * Q2-style correlated-MIN join-back, Q12 two-way conditional split,
+  * Q17 correlated-average threshold join, Q21 semi+anti
+  * self-composition, and Q13 histogram-of-counts double aggregation
+  * (columns the testdata lacks — l_commitdate, l_shipmode, partsupp —
+  * are adapted, the operator shapes are not). All scan-dominant: filters push to parquet, aggregates are
   * one partial+final shuffle, top-k plans as TakeOrderedAndProject,
   * fixed-size dims broadcast while SF-scaled tables stay unhinted for
   * AQE.
@@ -244,7 +246,91 @@ object TpchQueries {
         .filter(col("o_totalprice") === col("min_price"))
         .select(col("n_name"), col("o_orderkey"), col("o_totalprice"))
         .orderBy("n_name", "o_orderkey")
-    })
+    }),
+
+    // Q12 shape: two-way conditional aggregation after a fact join —
+    // per line status, how many lines belong to high- vs low-priority
+    // orders (l_shipmode adapted to l_linestatus; the
+    // count-split-by-joined-attribute shape is Q12's point)
+    "t13_priority_line_split" -> ((s, d) =>
+      orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+        .join(lineitem(s, d)
+            .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+              col("l_shipdate") < to_timestamp(lit("1997-01-01")))
+            .select(col("l_orderkey"), col("l_linestatus")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy("l_linestatus")),
+
+    // Q17 shape: per-key correlated-average threshold — revenue lost by
+    // always stocking small-quantity brand orders. The per-part 20%-of-
+    // average threshold is de-correlated into a group-avg + join-back;
+    // quantities are integral, so the threshold is computed in EXACT
+    // long arithmetic cast to double at the end (a double-sum threshold
+    // would be summation-order-dependent and flip boundary rows between
+    // engines).
+    "t14_small_quantity_revenue" -> ((s, d) => {
+      val li = lineitem(s, d)
+      val thresholds = li.groupBy(col("l_partkey")).agg(
+        (lit(0.2) * sum(col("l_quantity").cast("long")).cast("double") /
+          count(lit(1))).as("qty_threshold"))
+      li.join(broadcast(part(s, d).filter(col("p_brand") === "Brand#4")
+          .select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(thresholds, "l_partkey")
+        .filter(col("l_quantity") < col("qty_threshold"))
+        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+    }),
+
+    // Q21 shape: semi ⨝ anti composition over a self-referencing fact —
+    // suppliers whose RETURNED line sits on a multi-supplier order where
+    // no OTHER supplier returned anything (l_receiptdate/l_commitdate
+    // adapted to l_returnflag; the exists + not-exists pair on the same
+    // relation is Q21's point). DISTINCT (order, supplier) pairs make
+    // the count well-defined when a supplier returns several lines of
+    // one order.
+    "t15_sole_returning_supplier" -> ((s, d) => {
+      val li = lineitem(s, d)
+      val returned = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val others = li.select(col("l_orderkey").as("o_key"), col("l_suppkey").as("o_supp"))
+        .distinct()
+      val otherReturned = returned
+        .select(col("l_orderkey").as("r_key"), col("l_suppkey").as("r_supp"))
+      returned
+        .join(others,
+          col("l_orderkey") === col("o_key") && col("l_suppkey") =!= col("o_supp"),
+          "left_semi")
+        .join(otherReturned,
+          col("l_orderkey") === col("r_key") && col("l_suppkey") =!= col("r_supp"),
+          "left_anti")
+        .join(broadcast(supplier(s, d).select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
+
+    // Q13 shape: histogram of a grouped count — distribution of
+    // per-customer order counts (excluding urgent orders), customers
+    // with zero orders included via the left outer join. The "group by
+    // the result of a group by" double aggregation is Q13's point.
+    "t16_order_count_distribution" -> ((s, d) =>
+      customer(s, d).select(col("c_custkey"))
+        .join(orders(s, d).filter(col("o_orderpriority") =!= "1-URGENT")
+            .select(col("o_custkey"), col("o_orderkey")),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc))
   )
 
   def oracles: Map[String, String] = Map(
@@ -286,6 +372,59 @@ object TpchQueries {
         |WHERE o_totalprice = (SELECT MIN(o_totalprice) FROM ow w2
         |                      WHERE w2.n_name = w.n_name)
         |ORDER BY n_name, o_orderkey""".stripMargin,
+
+    "t13_priority_line_split" ->
+      """SELECT l_linestatus,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01'
+        |  AND CAST(l_shipdate AS TIMESTAMP) < TIMESTAMP '1997-01-01'
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
+
+    // threshold in exact integer arithmetic then one double division —
+    // the same expression tree as the Spark side, so boundary rows
+    // cannot flip between engines
+    "t14_small_quantity_revenue" ->
+      """WITH th AS (
+        |  SELECT l_partkey,
+        |         0.2 * CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+        |             / COUNT(*) AS qty_threshold
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#4'
+        |JOIN th ON th.l_partkey = lineitem.l_partkey
+        |WHERE l_quantity < qty_threshold""".stripMargin,
+
+    "t15_sole_returning_supplier" ->
+      """WITH r AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey
+        |  FROM lineitem WHERE l_returnflag = 'R')
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM r l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
+    "t16_order_count_distribution" ->
+      """WITH c_orders AS (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, COUNT(*) AS custdist
+        |FROM c_orders GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
 
     "t01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
