@@ -317,6 +317,27 @@ object TpchQueries {
         .limit(20)
     }),
 
+    // Q15 shape: join-back on the MAX of a grouped aggregate — the
+    // quarter's top revenue supplier(s). Revenue is summed in DECIMAL:
+    // the max-EQUALITY filter must compare exact values, and a double
+    // sum is summation-order-dependent across engines (the o51
+    // convention). The 1-row max is broadcast.
+    "t17_top_supplier" -> ((s, d) => {
+      val rev = lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1996-04-01")))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1) - col("l_discount").cast("decimal(18,4)"))).as("tr"))
+      val mx = rev.agg(max(col("tr")).as("mx"))
+      rev.join(broadcast(mx), col("tr") === col("mx"))
+        .join(broadcast(supplier(s, d).select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("tr"), 2).cast("double").as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
     // Q13 shape: histogram of a grouped count — distribution of
     // per-customer order counts (excluding urgent orders), customers
     // with zero orders included via the left outer join. The "group by
@@ -415,6 +436,20 @@ object TpchQueries {
         |      AND l3.l_returnflag = 'R')
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
+    "t17_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |             (1 - CAST(l_discount AS DECIMAL(18,4)))) AS tr
+        |  FROM lineitem
+        |  WHERE CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01'
+        |    AND CAST(l_shipdate AS TIMESTAMP) < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(ROUND(tr, 2) AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE tr = (SELECT MAX(tr) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
 
     "t16_order_count_distribution" ->
       """WITH c_orders AS (
