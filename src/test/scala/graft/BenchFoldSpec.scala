@@ -29,6 +29,17 @@ class BenchFoldSpec extends AnyFunSuite {
     assert(folded == Right(4.0))
   }
 
+  test("noise sentinel: factor is measured/norm, noisy strictly above 2×") {
+    val (fIdle, noisyIdle) = Bench.noiseVerdict(Bench.CalibrationNormSec)
+    assert(math.abs(fIdle - 1.0) < 1e-9 && !noisyIdle)
+    // exactly at the threshold is NOT noisy (> not >=): the flag marks
+    // pollution, not the norm's own tail
+    val (fAt, noisyAt) = Bench.noiseVerdict(Bench.CalibrationNormSec * Bench.NoisyFactor)
+    assert(math.abs(fAt - Bench.NoisyFactor) < 1e-9 && !noisyAt)
+    val (fHot, noisyHot) = Bench.noiseVerdict(Bench.CalibrationNormSec * 5.0)
+    assert(fHot > Bench.NoisyFactor && noisyHot)
+  }
+
   test("slowest decile: ceil(n/10) names, slowest-first, deterministic ties") {
     val timed = (1 to 20).map(i => f"q$i%02d" -> i.toDouble)
     // 20 queries -> decile of 2: the two largest times
