@@ -54,48 +54,150 @@ object Bench {
     timed.sortBy { case (name, t) => (-t, name) }.take(n).map(_._1).toSet
   }
 
-  /** Idle-box norm for the calibration probe below, committed so every
-    * future bench compares against the same yardstick. Measured on this
-    * machine class (local[32], 128 GiB): the probe scales linearly
-    * with row count (0.15 s @ 256M, 0.37 s @ 2B, 0.74-1.08 s @ 4B
-    * across five idle-box runs — the spread is the resident session
-    * tooling, which is the realistic baseline condition); under the
-    * co-resident Spark JVMs that polluted BENCH_r10.json (recorded
-    * 240 s vs 72 s clean, setup_sec 18.2 vs the 9-10 s norm, t01
-    * inflated 115×) the same probe degrades with the contention
-    * because it is pure 32-way CPU work with no I/O to hide behind.
-    * Chosen over a setup_sec comparison as the primary sentinel
-    * because Gold.ensure legitimately changes across rounds; the probe
-    * is binary- and data-independent.
+  /** Idle-box norm for the calibration probe below, committed as the
+    * MEASURED SPREAD, not just a midpoint, so the threshold can be
+    * tightened (or re-baselined) against real endpoints. On this
+    * machine class (local[32], 128 GiB), five idle-box runs of the 4B
+    * probe spanned 0.74-1.08 s (the spread is the resident session
+    * tooling, which is the realistic baseline condition); the probe
+    * scales linearly with row count above ~1B (0.15 s @ 256M, 0.37 s
+    * @ 2B — a fixed ~0.1 s plan/dispatch overhead dominates below).
+    * Re-baseline procedure when resident tooling drifts: on an idle
+    * box run `runMain graft.BenchCalibrate` (5 probe samples, JSON to
+    * stdout) and commit the new endpoints + norm here, keeping
+    * NoisyFactor ≥ hi/norm.
+    *
+    * Under the co-resident Spark JVMs that polluted BENCH_r10.json
+    * (recorded 240 s vs 72 s clean) the probe degrades with the
+    * contention because it is pure CPU work with no I/O to hide
+    * behind. Chosen over a setup_sec comparison as the primary
+    * sentinel because Gold.ensure legitimately changes across rounds;
+    * the probe is binary- and data-independent.
+    *
+    * Round-12 rework (the round-11 sentinel MISSED a 2.75×-polluted
+    * run, stamping it noisy:false at factor 1.25):
+    *  - NoisyFactor 2.0 → 1.3: the idle spread tops at 1.08/0.85 =
+    *    1.27, so 1.3 flags anything outside the probe's own observed
+    *    tail. The old 2.0 was far laxer than the damage curve — a
+    *    1.25-factor CPU reading coexisted with 2.75× query inflation
+    *    because queries also contend on shuffle I/O and page cache.
+    *  - probes run MID-BENCH (every ProbeEveryQueries queries), not
+    *    only at the endpoints, and the verdict takes the max over all
+    *    samples: load that rises after the first probe and falls
+    *    before the last is no longer invisible.
+    *  - a second, independent signal: the median per-query ratio vs
+    *    the last committed clean bench (BENCH_CLEAN.json; self-
+    *    history). The CPU probe under-reads I/O contention; history
+    *    sees exactly what the queries experienced. Either signal
+    *    alone marks the run noisy.
+    *  - the probe uses the bench's actual core count as its split
+    *    count and scales the norm by 32/cpus, so a 16- or 64-core
+    *    host gets a correct yardstick instead of a systematic 2×
+    *    false positive / under-detection.
+    * `noisy:false` is NOT a cleanliness certificate — it means no
+    * signal exceeded its threshold; both JSONs carry that note.
     */
+  val CalibrationIdleLoSec = 0.74
+  val CalibrationIdleHiSec = 1.08
   val CalibrationNormSec = 0.85
-  val NoisyFactor = 2.0
+  val NoisyFactor = 1.3
+  /** Self-history signal: median per-query ratio vs the committed
+    * clean bench above this ⇒ noisy. Queries with baseline time below
+    * HistoryMinBaselineSec are excluded (timer noise dominates their
+    * ratios); the signal abstains entirely (None) below
+    * HistoryMinQueries common queries or on an sf mismatch.
+    */
+  val HistoryNoisyFactor = 1.5
+  val HistoryMinBaselineSec = 0.15
+  val HistoryMinQueries = 10
+  val ProbeEveryQueries = 20
+  /** Probe work: total rows hashed, fixed regardless of core count
+    * (splits = cores ⇒ idle time ≈ norm × 32/cpus).
+    */
+  val ProbeRows = 4000000000L
 
-  /** (deviation factor, polluted?) for a measured calibration time. */
-  def noiseVerdict(calibrationSec: Double): (Double, Boolean) = {
-    val f = calibrationSec / CalibrationNormSec
+  /** (deviation factor, polluted?) for a measured calibration time
+    * against an effective norm (already scaled for core count).
+    */
+  def noiseVerdict(calibrationSec: Double, normSec: Double = CalibrationNormSec): (Double, Boolean) = {
+    val f = calibrationSec / normSec
     (f, f > NoisyFactor)
   }
 
-  /** Fixed CPU-bound calibration probe: xxhash64 over a constant range,
-    * exactly 32 splits so it occupies every core the bench assumes it
-    * owns. Min of two passes (first absorbs codegen), like the queries.
+  /** One CPU-bound calibration probe pass: xxhash64 over a constant
+    * range, one split per core the bench assumes it owns.
     */
-  def calibrate(spark: SparkSession): Double = {
-    def once(): Double = {
-      val t0 = System.nanoTime()
-      spark.range(0L, 4000000000L, 1, 32)
-        .selectExpr("bit_xor(xxhash64(id)) as h") // bit_xor: no ANSI long overflow
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
-    }
-    math.min(once(), once())
+  def calibrateOnce(spark: SparkSession, splits: Int, rows: Long = ProbeRows): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, rows, 1, splits)
+      .selectExpr("bit_xor(xxhash64(id)) as h") // bit_xor: no ANSI long overflow
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Endpoint probe: min of two passes (first absorbs codegen), like
+    * the queries. Mid-run probes start as single passes — the max-over-
+    * samples verdict wants sensitivity there, and the plan is already
+    * codegen-warm after the first endpoint probe — but a sample over
+    * the threshold is CONFIRMED with one more pass (min of the two):
+    * the pollution that matters is sustained across a query's own two
+    * passes, so a probe must distinguish sustained contention (both
+    * readings high) from a one-off GC blip landing on the probe (the
+    * first sf0.01 shakedown of this sentinel produced exactly that —
+    * one 1.23 s mid-run sample between 0.56-0.70 s neighbours).
+    */
+  def calibrate(spark: SparkSession, splits: Int, rows: Long = ProbeRows): Double =
+    math.min(calibrateOnce(spark, splits, rows), calibrateOnce(spark, splits, rows))
+
+  def calibrateConfirmed(spark: SparkSession, splits: Int, threshold: Double): Double = {
+    val first = calibrateOnce(spark, splits)
+    if (first <= threshold) first
+    else math.min(first, calibrateOnce(spark, splits))
+  }
+
+  /** Extract the per-query map (and the sf basename, if recorded) from
+    * a committed bench JSON (bench_out.json format). Hand-rolled on
+    * purpose: values are flat numbers, so the queries object ends at
+    * the first '}' after its opening brace; no JSON library in the
+    * dependency budget.
+    */
+  def parseBaseline(json: String): (Map[String, Double], Option[String]) = {
+    val qKey = "\"queries\":{"
+    val qStart = json.indexOf(qKey)
+    val queries: Map[String, Double] =
+      if (qStart < 0) Map.empty
+      else {
+        val body = json.substring(qStart + qKey.length, json.indexOf('}', qStart + qKey.length).max(qStart + qKey.length))
+        val entry = "\"([^\"]+)\":([-+0-9.eE]+)".r
+        entry.findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    val sf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(json).map(_.group(1).split('/').last)
+    (queries, sf)
+  }
+
+  /** Median per-query ratio current/baseline over queries present in
+    * both with baseline ≥ HistoryMinBaselineSec; None (signal
+    * abstains) with fewer than HistoryMinQueries such queries. Median,
+    * not mean: one legitimately-changed plan must not flag the run.
+    */
+  def medianRatio(current: Seq[(String, Double)], baseline: Map[String, Double]): Option[Double] = {
+    val ratios = current.collect {
+      case (n, t) if baseline.get(n).exists(_ >= HistoryMinBaselineSec) => t / baseline(n)
+    }.sorted
+    if (ratios.size < HistoryMinQueries) None
+    else Some(
+      if (ratios.size % 2 == 1) ratios(ratios.size / 2)
+      else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2.0)
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
+    val cpusN = cpus.toInt
+    // effective norm for this host: the committed norm was measured at
+    // 32-way parallelism over fixed total work, so time ∝ 32/cpus
+    val probeNorm = CalibrationNormSec * 32.0 / cpusN
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -112,12 +214,12 @@ object Bench {
     val setup0 = System.nanoTime()
     graft.engine.Gold.ensure(spark, sfDir)
     val setupSec = (System.nanoTime() - setup0) / 1e9
-    // noise sentinel, pass 1 of 2: probe BEFORE the timed queries. A
-    // second probe runs after them — load arriving mid-bench (the r10
-    // pollution arrived as round-10's own JVMs wound down) must not
-    // slip between two clean endpoints, so the reported factor is the
-    // max of both.
-    val calibrationBefore = calibrate(spark)
+    // noise sentinel, CPU-probe signal: endpoint probes (min-of-two)
+    // before and after the timed queries PLUS a single-pass probe every
+    // ProbeEveryQueries timed queries; the factor is the max over all
+    // samples, so load confined to any window of ~20 queries is seen.
+    val probeSamples = scala.collection.mutable.ArrayBuffer[Double]()
+    probeSamples += calibrate(spark, cpusN)
 
     // optional subset run (comma-separated full names or short-id
     // prefixes) — the bisect lever for attributing cross-round drift to
@@ -148,7 +250,9 @@ object Bench {
     // only, and a query is an error only when BOTH passes fail — a
     // transient single-pass failure must not report a fast-fail duration
     // as the query's time, nor a succeeded query as an error.
-    val results: Seq[(String, Option[Double])] = names.map { n =>
+    val results: Seq[(String, Option[Double])] = names.zipWithIndex.map { case (n, i) =>
+      if (i > 0 && i % ProbeEveryQueries == 0)
+        probeSamples += calibrateConfirmed(spark, cpusN, NoisyFactor * probeNorm)
       foldPasses(Seq(timeOne(n), timeOne(n))) match {
         case Left(err) => errors(n) = err; n -> None
         case Right(t)  => n -> Some(t)
@@ -156,12 +260,14 @@ object Bench {
     }
     // The driver keeps only the last ~2000 chars of sbt output, so the
     // stdout JSON line must fit that window in full: per-query times at
-    // 2 decimals (75 queries × ~27 chars leaves <50 chars of headroom),
-    // totals at 3, error detail only in bench_out.json (n_errors inline).
-    // If the registry grows (or double-digit times widen the line) past
-    // the budget, per-query precision degrades to 1 decimal AUTOMATICALLY
-    // rather than silently clipping the JSON head out of the window —
-    // full precision always lives in bench_out.json.
+    // 2 decimals, totals at 3, error detail only in bench_out.json
+    // (n_errors inline). Budget at 99 short-id queries × ~12 chars ≈
+    // 1190, fixed fields ≈ 120, noise block (calibration + both factors
+    // + note) ≈ 200 ⇒ ~1510 of 1985 — headroom for ~35 more queries at
+    // 2 decimals. If the registry grows past the budget, per-query
+    // precision degrades to 1 decimal AUTOMATICALLY rather than
+    // silently clipping the JSON head out of the window — full
+    // precision always lives in bench_out.json.
     def rnd(v: Double, s: Int): String =
       BigDecimal(v).setScale(s, BigDecimal.RoundingMode.HALF_UP).toString
     def r3(v: Double): String = rnd(v, 3)
@@ -187,23 +293,42 @@ object Bench {
     val errJson = errors.map { case (k, v) => Json.quote(k) + ":" + Json.quote(v) }
       .mkString("{", ",", "}")
     val total = timed.map(_._2).sum
-    // noise sentinel, pass 2 of 2 + verdict. A factor > NoisyFactor
-    // stamps "noisy":true into BOTH JSONs: a reader comparing this
-    // bench against history must see the flag next to the headline
-    // number, not have to dig the calibration times out of the sidecar.
-    val calibrationAfter = calibrate(spark)
-    val calibrationSec = math.max(calibrationBefore, calibrationAfter)
-    val (noiseFactor, noisy) = noiseVerdict(calibrationSec)
+    // noise sentinel verdict: CPU-probe factor (max over samples) OR
+    // self-history factor — either over its threshold stamps
+    // "noisy":true into BOTH JSONs: a reader comparing this bench
+    // against history must see the flag next to the headline number,
+    // not have to dig the calibration times out of the sidecar.
+    probeSamples += calibrate(spark, cpusN)
+    val calibrationSec = probeSamples.max
+    val (cpuFactor, cpuNoisy) = noiseVerdict(calibrationSec, probeNorm)
+    val sfShort = sfDir.split('/').last
+    // self-history: per-query ratios vs the last committed clean bench
+    // (bench_out.json format). Applied only when the baseline was
+    // recorded at the SAME sf — cross-sf ratios measure data growth,
+    // not pollution.
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BENCH_CLEAN.json")
+    val (baseQueries, baseSf) = (try {
+      val p = Paths.get(baselinePath)
+      if (Files.exists(p)) parseBaseline(Files.readString(p))
+      else (Map.empty[String, Double], None)
+    } catch { case _: Throwable => (Map.empty[String, Double], None) })
+    val histFactorOpt =
+      if (baseSf.contains(sfShort)) medianRatio(timed, baseQueries) else None
+    val histNoisy = histFactorOpt.exists(_ > HistoryNoisyFactor)
+    val noisy = cpuNoisy || histNoisy
+    val histJson = histFactorOpt.map(h => rnd(h, 2)).getOrElse("null")
+    // noisy:false means "no signal exceeded its threshold", NOT a
+    // cleanliness certificate — both JSONs say so explicitly, because
+    // round 11 proved a clean-looking factor can sit beside polluted
+    // query times the probes never sampled.
+    val noiseNote = "noisy:false is no cleanliness certificate"
     val noiseJson =
-      s""","calibration_sec":${rnd(calibrationSec, 2)},"noise_factor":${rnd(noiseFactor, 2)},"noisy":$noisy"""
+      s""","calibration_sec":${rnd(calibrationSec, 2)},"noise_factor":${rnd(cpuFactor, 2)},"history_factor":$histJson,"noisy":$noisy,"noise_note":${Json.quote(noiseNote)}"""
     // stdout trims every char it can spare (bench_out.json keeps full
     // names and full precision): per-query keys are the registry's UNIQUE
     // short ids ("o22" for o22_minhash_lsh_jaccard — the prefix before
     // the first underscore, the same id CORRECTNESS entries start with),
     // sf as BASENAME, setup at 2 decimals, n_errors only when non-zero.
-    // 83 full names at any precision no longer fit the window; 83 short
-    // ids at 2 decimals are ~1100 chars with years of headroom.
-    val sfShort = sfDir.split('/').last
     def prefix(name: String): String = name.takeWhile(_ != '_')
     // short ids only when unique — a future prefix collision falls back
     // to full names (which the adaptive precision below absorbs) instead
@@ -226,14 +351,37 @@ object Bench {
     val json = Iterator(2, 1, 0)
       .map(stdoutJson).find(_.length <= 1985).getOrElse(noQueries)
     Files.writeString(Paths.get("bench_out.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${timed.map { case (k, v) => Json.quote(k) + ":" + v }.mkString("{", ",", "}")},"setup_sec":$setupSec,"n_errors":${errors.size},"errors":$errJson,"calibration_before_sec":$calibrationBefore,"calibration_after_sec":$calibrationAfter,"calibration_norm_sec":$CalibrationNormSec,"noise_factor":$noiseFactor,"noisy":$noisy,"sf":${Json.quote(sfDir)}}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${timed.map { case (k, v) => Json.quote(k) + ":" + v }.mkString("{", ",", "}")},"setup_sec":$setupSec,"n_errors":${errors.size},"errors":$errJson,"cpus":$cpusN,"probe_samples":${probeSamples.mkString("[", ",", "]")},"calibration_sec":$calibrationSec,"calibration_norm_sec":$probeNorm,"noise_factor":$cpuFactor,"history_factor":$histJson,"history_baseline_sf":${baseSf.map(Json.quote).getOrElse("null")},"noisy":$noisy,"noise_note":${Json.quote(noiseNote)},"sf":${Json.quote(sfDir)}}""")
     if (noisy)
-      System.err.println(f"[bench] NOISY run: calibration $calibrationSec%.2f s vs norm $CalibrationNormSec%.2f s (factor $noiseFactor%.2f) — treat totals as polluted")
+      System.err.println(f"[bench] NOISY run: probe max $calibrationSec%.2f s vs norm $probeNorm%.2f s (factor $cpuFactor%.2f), history factor ${histJson} — treat totals as polluted")
     if (errors.nonEmpty)
       System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
     // printed last (after stop) so no Spark shutdown line can push the
     // JSON out of the driver's tail window
     println(json)
+  }
+}
+
+/** Re-baseline helper for the calibration norm: five idle-box probe
+  * samples (after one untimed codegen warm-up), printed as JSON. Run on
+  * an idle box, then commit the observed endpoints and a norm near the
+  * median into Bench.CalibrationIdle{Lo,Hi}Sec / CalibrationNormSec,
+  * keeping NoisyFactor ≥ hi/norm.
+  */
+object BenchCalibrate {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Bench.calibrateOnce(spark, cpus.toInt) // untimed codegen warm-up
+    val samples = (1 to 5).map(_ => Bench.calibrateOnce(spark, cpus.toInt))
+    spark.stop()
+    println(s"""{"cpus":$cpus,"probe_rows":${Bench.ProbeRows},"samples":${samples.map(s => f"$s%.3f").mkString("[", ",", "]")}}""")
   }
 }

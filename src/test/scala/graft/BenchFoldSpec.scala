@@ -29,7 +29,7 @@ class BenchFoldSpec extends AnyFunSuite {
     assert(folded == Right(4.0))
   }
 
-  test("noise sentinel: factor is measured/norm, noisy strictly above 2×") {
+  test("noise sentinel: factor is measured/norm, noisy strictly above NoisyFactor") {
     val (fIdle, noisyIdle) = Bench.noiseVerdict(Bench.CalibrationNormSec)
     assert(math.abs(fIdle - 1.0) < 1e-9 && !noisyIdle)
     // exactly at the threshold is NOT noisy (> not >=): the flag marks
@@ -38,6 +38,77 @@ class BenchFoldSpec extends AnyFunSuite {
     assert(math.abs(fAt - Bench.NoisyFactor) < 1e-9 && !noisyAt)
     val (fHot, noisyHot) = Bench.noiseVerdict(Bench.CalibrationNormSec * 5.0)
     assert(fHot > Bench.NoisyFactor && noisyHot)
+    // the threshold sits just outside the probe's own observed idle
+    // tail (hi/norm = 1.27): tight enough that the round-11 class of
+    // miss (factor 1.25 beside 2.75× query inflation) is now within
+    // one idle-spread width of flagging, loose enough that the
+    // committed idle endpoints themselves never flag
+    assert(Bench.NoisyFactor < 2.0)
+    assert(Bench.CalibrationIdleHiSec / Bench.CalibrationNormSec < Bench.NoisyFactor)
+    val (_, noisyAtIdleHi) = Bench.noiseVerdict(Bench.CalibrationIdleHiSec)
+    assert(!noisyAtIdleHi)
+    // an explicit norm (the cpus-scaled yardstick) changes the factor
+    val (fScaled, _) = Bench.noiseVerdict(1.7, 1.7)
+    assert(math.abs(fScaled - 1.0) < 1e-9)
+  }
+
+  test("baseline parse: queries map and sf basename out of bench_out.json format") {
+    val json = """{"metric":"total","value":47.5,"unit":"sec","queries":{"a01_kpis":0.25,"o22_minhash":1.37,"t01_pricing":0.23},"setup_sec":9.4,"n_errors":0,"errors":{},"noisy":false,"sf":"/root/testdata/sf0.1"}"""
+    val (qs, sf) = Bench.parseBaseline(json)
+    assert(qs == Map("a01_kpis" -> 0.25, "o22_minhash" -> 1.37, "t01_pricing" -> 0.23))
+    // sf compares as basename so a full-dir baseline matches a basename run
+    assert(sf.contains("sf0.1"))
+    // degenerate inputs abstain instead of throwing
+    assert(Bench.parseBaseline("not json at all")._1.isEmpty)
+    assert(Bench.parseBaseline("""{"queries":{}}""")._1.isEmpty)
+  }
+
+  test("self-history: median per-query ratio, abstains below minimums") {
+    val base = (1 to 20).map(i => f"q$i%02d" -> 1.0).toMap
+    // clean run: all ratios 1.0
+    val clean = (1 to 20).map(i => f"q$i%02d" -> 1.0)
+    assert(Bench.medianRatio(clean, base).contains(1.0))
+    // polluted run: everything 2×; median sees it even though one
+    // query improved 10× (median, not mean — a legitimately changed
+    // plan must not dominate)
+    val polluted = (1 to 19).map(i => f"q$i%02d" -> 2.0) :+ ("q20" -> 0.1)
+    assert(Bench.medianRatio(polluted, base).exists(_ > Bench.HistoryNoisyFactor))
+    // fast queries are excluded: their ratios are timer noise
+    val fastBase = base ++ (21 to 40).map(i => f"f$i%02d" -> 0.01).toMap
+    val fastWild = clean ++ (21 to 40).map(i => f"f$i%02d" -> 0.09)
+    assert(Bench.medianRatio(fastWild, fastBase).contains(1.0))
+    // fewer than HistoryMinQueries common slow queries: abstain (None)
+    assert(Bench.medianRatio(clean.take(Bench.HistoryMinQueries - 1), base).isEmpty)
+    // no baseline at all: abstain
+    assert(Bench.medianRatio(clean, Map.empty).isEmpty)
+  }
+
+  test("synthetic background burn: the probe detects a deliberate CPU burn") {
+    // the round-11 sentinel's failure mode was under-detection; this
+    // locks the probe's sensitivity: a full-box spin burn must raise
+    // the measured probe time past NoisyFactor × its own idle reading.
+    // Small probe (fixed work, 2 splits on the shared local[2] session)
+    // so the test stays ~seconds; sensitivity is what's asserted, not
+    // absolute times, so the committed 4B/32-split norm is not needed.
+    val spark = TestSpark.spark
+    val rows = 200000000L
+    Bench.calibrateOnce(spark, 2, rows) // untimed codegen warm-up
+    val idle = Bench.calibrate(spark, 2, rows)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // 2× oversubscription: more runnable spinners than cores guarantees
+    // the probe's task threads actually lose timeslices
+    val burners = (1 to 2 * Runtime.getRuntime.availableProcessors).map { _ =>
+      val t = new Thread(() => {
+        var x = 0L
+        while (!stop.get) { x += 1; if (x == Long.MaxValue) x = 0 }
+      })
+      t.setDaemon(true); t.start(); t
+    }
+    try {
+      val burned = Bench.calibrate(spark, 2, rows)
+      assert(burned > idle * Bench.NoisyFactor,
+        f"probe under burn $burned%.3f s vs idle $idle%.3f s — sentinel would miss this")
+    } finally stop.set(true)
   }
 
   test("slowest decile: ceil(n/10) names, slowest-first, deterministic ties") {
