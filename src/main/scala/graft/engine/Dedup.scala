@@ -19,86 +19,245 @@ import graft.functions.{PortableHashFunctions, TextHashFunctions}
   *    boundary, vanishing fast above it — probabilistic, unlike
   *    [[simhashNearDup]]'s pigeonhole guarantee).
   *
-  * Scale posture: both pipelines shuffle on (band index, band key) — the
-  * candidate join is bucket-local, output is pairs-within-buckets only.
-  * At 100 TB the signature stage is a single narrow pass over text
-  * (codegen'd kernel expressions), and bucket skew is bounded by the band
-  * width (16 bits ⇒ ≤ 65k buckets per band index; salt the band key with
-  * a signature prefix if a bucket degenerates).
+  * Scale posture — the two ways a web-scale corpus degenerates a banded
+  * pipeline, and the defense for each:
+  *
+  *  1. IDENTICAL boilerplate (millions of byte-equal docs — the single
+  *     most common real condition in training corpora). No band-key
+  *     salting can split these: equal text ⇒ equal signature ⇒ equal
+  *     salt. Both pipelines therefore COLLAPSE identical texts first
+  *     (group by md5(text), one representative per distinct text; two
+  *     narrow linear scans, no per-group row blow-up), run the band
+  *     join over representatives only, and re-expand at the end.
+  *     Identical-text pairs need no signatures and no verify at all —
+  *     equal shingle sets have Jaccard exactly 1.0 and equal SimHash
+  *     exactly hamming 0 — so the quadratic part of the OUTPUT (which
+  *     is inherent in the pair contract, not an artifact) is emitted as
+  *     trivial id pairs through a salted self-join ([[EmitSalts]]-way,
+  *     so one giant group's emission spreads across tasks instead of
+  *     one straggler), never through the candidate/verify machinery.
+  *  2. Degenerate BAND BUCKETS of distinct texts (near-boilerplate that
+  *     agrees on one band). Buckets whose representative count exceeds
+  *     `maxBucket` get their band key SALTED with a signature-derived
+  *     sub-band, splitting the bucket by content the colliding band
+  *     does not see. SimHash: the 48 complement bits split into 4×12-bit
+  *     sub-bands — a pair at hamming ≤ 3 has ≤ 3 dirty complement bits,
+  *     so by the same pigeonhole it shares ≥ 1 clean sub-band and recall
+  *     stays COMPLETE for t ≤ 3. MinHash: the salt is the hash of one of
+  *     the 15 other bands — a true pair in a hot bucket is found iff it
+  *     also agrees on some other band, adding ≤ (1-j²)^15 ≈ 2.4e-7 miss
+  *     probability at j = 0.8 (on top of the curve's own 8e-8); buckets
+  *     under the bound are untouched, so at testdata scales the output
+  *     is bit-identical to the unsalted pipeline.
+  *
+  * Bucket skew is thereby bounded: ≤ 65k buckets per SimHash band index
+  * with hot ones split 4×4096-way; MinHash hot buckets split by 15
+  * independent band hashes. Docs agreeing on MANY bands remain mutual
+  * candidates by design — that is the LSH recall curve speaking, and
+  * pruning them would silently change the operator's contract.
   */
 object Dedup {
 
+  /** Representative-count bound above which a band bucket's key gets
+    * salted. 2000² candidate pairs per bucket is the order of one
+    * shuffle partition's comfortable join work; testdata corpora never
+    * reach it, adversarial corpora (DedupSpec) do.
+    */
+  val DefaultMaxBucket = 2000
+
+  /** Fan-out of the identical-group pair emission self-join: group
+    * members are hashed into this many sub-streams on the build side
+    * and replicated on the probe side, so a single million-member
+    * group emits its (inherently quadratic) output across EmitSalts
+    * tasks instead of one.
+    */
+  val EmitSalts = 16
+
+  // single-split corpora are spread via the shared gated probe
+  // ([[Spread]]) before the compute-bound hash passes
+  private def spread(docs: DataFrame): DataFrame = Spread(docs)
+
+  /** Identical-text collapse: membership (gkey, doc_id), one
+    * representative per distinct text (min doc_id carries the group),
+    * and the multi-member group keys. Two narrow linear scans of the
+    * corpus (md5 is ~the cost of one signature pass); no collect_list
+    * — a million-member group must not become a million-element row.
+    */
+  private def collapse(docs0: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val docs = spread(docs0)
+    val members = docs.select(md5(col("text")).as("gkey"), col("doc_id"))
+    val reps = docs.groupBy(md5(col("text")).as("gkey"))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"),
+        count(lit(1)).as("gn"))
+    val multi = reps.filter(col("gn") > 1).select("gkey")
+    (members, reps, multi)
+  }
+
+  /** All intra-group pairs (a < b) of multi-member identical-text
+    * groups, via the EmitSalts-way salted self-join: the a-side keeps
+    * one salt per member, the b-side is replicated to every salt, so
+    * each unordered pair joins exactly once (at the a-member's salt)
+    * and a giant group's quadratic emission is spread across tasks.
+    */
+  private def withinGroupPairs(members: DataFrame, multi: DataFrame): DataFrame = {
+    val mm = members.join(multi, Seq("gkey"), "left_semi")
+    val a = mm.select(col("gkey"), col("doc_id").as("a"))
+      .withColumn("es", pmod(hash(col("a")), lit(EmitSalts)))
+    val b = mm.select(col("gkey"), col("doc_id").as("b"),
+      explode(sequence(lit(0), lit(EmitSalts - 1))).as("es"))
+    a.join(b, Seq("gkey", "es"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+  }
+
+  /** Representative-level pairs expanded to member-level pairs: every
+    * member of group ga pairs with every member of gb, carrying the
+    * representatives' similarity value (identical texts ⇒ identical
+    * signatures and shingle sets, so the value is exact for every
+    * expanded pair). Most groups are singletons, so AQE broadcasts the
+    * (small) pair side and the expansion is ~a rename; only genuinely
+    * quadratic outputs expand quadratically.
+    */
+  private def expandGroups(repPairs: DataFrame, members: DataFrame, valueCol: String): DataFrame =
+    repPairs
+      .join(members.select(col("gkey").as("ga"), col("doc_id").as("xa")), "ga")
+      .join(members.select(col("gkey").as("gb"), col("doc_id").as("xb")), "gb")
+      .select(least(col("xa"), col("xb")).as("a"),
+        greatest(col("xa"), col("xb")).as("b"), col(valueCol))
+
+  /** Band-bucket occupancy marker: the (tiny, broadcast) set of band
+    * buckets holding more than maxBucket representatives. Map-side
+    * partial aggregation keeps the count pass skew-proof.
+    */
+  private def hotBuckets(banded: DataFrame, maxBucket: Int): DataFrame =
+    broadcast(banded.groupBy("j", "band").count()
+      .filter(col("count") > maxBucket)
+      .select(col("j"), col("band"), lit(true).as("hot")))
+
   /** Pairs of docs with SimHash hamming distance ≤ t, found via
-    * 4×16-bit band bucketing (complete for t ≤ 3 by pigeonhole). Uses the
+    * 4×16-bit band bucketing (complete for t ≤ 3 by pigeonhole), with
+    * identical-text collapse and hot-bucket sub-band salting (see the
+    * object doc for why recall stays complete under both). Uses the
     * portable (md5-token) SimHash so the result is oracle-checkable; the
     * XXH64 kernel [[graft.functions.TextHash.simhash64]] is the drop-in
     * production hash (same pipeline, ~3× faster signature pass).
     */
-  // single-split corpora are spread via the shared gated probe
-  // ([[Spread]]) before the compute-bound signature pass
-  private def spread(docs: DataFrame): DataFrame = Spread(docs)
-
-  def simhashNearDup(docs0: DataFrame, t: Int = 3): DataFrame = {
+  def simhashNearDup(docs0: DataFrame, t: Int = 3,
+                     maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(t <= 3, s"4-band/16-bit bucketing guarantees recall only for t <= 3, got $t")
-    val docs = spread(docs0)
-    val sh = docs.select(
-      col("doc_id"),
+    val (members, reps, multi) = collapse(docs0)
+    val sh = reps.select(col("gkey"), col("doc_id"),
       PortableHashFunctions.simhashPortable64(col("text")).as("s"))
     val banded = sh
       .withColumn("j", explode(sequence(lit(0), lit(3))))
       .withColumn("band", expr("(s >> (j * 16)) & 65535"))
-    val a = banded.select(col("doc_id").as("a"), col("s").as("sa"), col("j"), col("band"))
-    val b = banded.select(col("doc_id").as("b"), col("s").as("sb"), col("j"), col("band"))
-    a.join(b, Seq("j", "band"))
+    // hot buckets split by 4×12-bit sub-bands of the 48 complement
+    // bits (the signature minus the colliding band): ≤ 3 diffs dirty
+    // ≤ 3 of 4 sub-bands, so a qualifying pair shares a clean one
+    val salted = banded
+      .join(hotBuckets(banded, maxBucket), Seq("j", "band"), "left")
+      .withColumn("m", explode(
+        when(col("hot"), sequence(lit(0), lit(3))).otherwise(array(lit(-1)))))
+      .withColumn("salt", when(col("m") >= 0, expr(
+        "shiftrightunsigned(" +
+          "(s & (shiftleft(cast(1 as bigint), j*16) - 1)) | " +
+          "shiftleft(if(j = 3, cast(0 as bigint), shiftrightunsigned(s, (j+1)*16)), j*16)" +
+          ", m*12) & 4095")).otherwise(lit(0L)))
+    val a = salted.select(col("doc_id").as("a"), col("gkey").as("ga"),
+      col("s").as("sa"), col("j"), col("band"), col("m"), col("salt"))
+    val b = salted.select(col("doc_id").as("b"), col("gkey").as("gb"),
+      col("s").as("sb"), col("j"), col("band"), col("m"), col("salt"))
+    val repPairs = a.join(b, Seq("j", "band", "m", "salt"))
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b"),
+      .select(col("a"), col("b"), col("ga"), col("gb"),
         bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
       .filter(col("hamming") <= t)
-      .distinct() // a pair can match in multiple bands
+      .distinct() // a pair can match in multiple (sub-)bands
+    expandGroups(repPairs, members, "hamming")
+      .unionByName(withinGroupPairs(members, multi)
+        .withColumn("hamming", lit(0L)))
+  }
+
+  /** Rep-level LSH candidate pairs (a, b, ga, gb): banded MinHash with
+    * identical-text collapse and hot-bucket other-band salting.
+    * Exposed at package level so the adversarial spec can assert the
+    * candidate set stays bounded where the unsalted join would go
+    * quadratic.
+    */
+  private[graft] def minhashRepCandidates(docs0: DataFrame, k: Int = 32,
+                                          bandRows: Int = 2, w: Int = 3,
+                                          maxBucket: Int = DefaultMaxBucket)
+  : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    require(k % bandRows == 0, "k must be divisible by bandRows")
+    val (members, reps, multi) = collapse(docs0)
+    val nBands = k / bandRows
+    val sigs = reps.select(col("gkey"), col("doc_id"),
+      TextHashFunctions.minhash(col("text"), k, w).as("sig"))
+    val banded = sigs
+      .withColumn("j", explode(sequence(lit(0), lit(nBands - 1))))
+      .withColumn("band", expr(
+        (0 until bandRows).map(r => s"sig[j * $bandRows + $r]").mkString("struct(", ", ", ")")))
+    // hot buckets split by the hash of one of the OTHER bands: a true
+    // pair colliding in a hot bucket is re-found iff it also agrees on
+    // some other band — ≤ (1-j²)^(nBands-1) added miss probability,
+    // zero effect on buckets under the bound
+    val salted = banded
+      .join(hotBuckets(banded, maxBucket), Seq("j", "band"), "left")
+      .withColumn("m", explode(
+        when(col("hot"), filter(sequence(lit(0), lit(nBands - 1)), x => x =!= col("j")))
+          .otherwise(array(lit(-1)))))
+      .withColumn("salt", when(col("m") >= 0, expr(
+        (0 until bandRows).map(r => s"sig[m * $bandRows + $r]")
+          .mkString("xxhash64(", ", ", ")"))).otherwise(lit(0L)))
+      .select(col("doc_id"), col("gkey"), col("j"), col("band"), col("m"), col("salt"))
+    val cand = salted.select(col("doc_id").as("a"), col("gkey").as("ga"),
+        col("j"), col("band"), col("m"), col("salt"))
+      .join(salted.select(col("doc_id").as("b"), col("gkey").as("gb"),
+        col("j"), col("band"), col("m"), col("salt")),
+        Seq("j", "band", "m", "salt"))
+      .filter(col("a") < col("b"))
+      .select("a", "b", "ga", "gb")
+      .distinct()
+    (cand, members, reps, multi)
   }
 
   /** Pairs of docs with exact w-shingle Jaccard ≥ threshold, candidate-
     * generated by banded MinHash LSH (k signatures, bands of `bandRows`)
     * and verified on exact distinct-shingle STRING sets (no hash in the
     * verify ⇒ zero collision risk; the MinHash signatures only gate which
-    * pairs get verified).
+    * pairs get verified). Identical-text pairs bypass the verify with
+    * Jaccard exactly 1.0 (equal sets), matching what the verify would
+    * compute.
     */
   def minhashLshJaccard(docs0: DataFrame, threshold: Double = 0.8,
-                        k: Int = 32, bandRows: Int = 2, w: Int = 3): DataFrame = {
-    require(k % bandRows == 0, "k must be divisible by bandRows")
-    val docs = spread(docs0)
-    val nBands = k / bandRows
-    val sigs = docs.select(
-      col("doc_id"),
-      TextHashFunctions.minhash(col("text"), k, w).as("sig"))
-    val banded = sigs
-      .withColumn("j", explode(sequence(lit(0), lit(nBands - 1))))
-      .withColumn("band", expr(
-        (0 until bandRows).map(r => s"sig[j * $bandRows + $r]").mkString("struct(", ", ", ")")))
-      .select(col("doc_id"), col("j"), col("band"))
-    val cand = banded.select(col("doc_id").as("a"), col("j"), col("band"))
-      .join(banded.select(col("doc_id").as("b"), col("j"), col("band")), Seq("j", "band"))
-      .filter(col("a") < col("b"))
-      .select("a", "b")
-      .distinct()
-    // Shingle only the CANDIDATE docs: the exact-Jaccard verify needs
-    // shingle sets for docs that appear in a candidate pair — a small
+                        k: Int = 32, bandRows: Int = 2, w: Int = 3,
+                        maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val (cand, members, reps, multi) =
+      minhashRepCandidates(docs0, k, bandRows, w, maxBucket)
+    // Shingle only the CANDIDATE reps: the exact-Jaccard verify needs
+    // shingle sets for reps that appear in a candidate pair — a small
     // fraction of the corpus by LSH design — but Catalyst will not move
     // a selective join below an expensive projection on its own, so a
-    // naive `docs.select(shingleSet)` re-shingles the whole corpus and
+    // naive `reps.select(shingleSet)` re-shingles the whole corpus and
     // ships the (heavy, array-of-string) sets into both verify joins.
-    // The semi-join runs as a broadcast (cand is bounded by the LSH
-    // collision rate), keeping the corpus side shuffle-free.
+    // candIds is bounded by the LSH collision rate, so the semi-join is
+    // pinned to a broadcast (plan-audited in PlanAuditSpec), keeping
+    // the corpus side shuffle-free.
     val candIds = cand.select(col("a").as("doc_id"))
       .union(cand.select(col("b").as("doc_id")))
       .distinct()
-    val ssets = docs.join(candIds, Seq("doc_id"), "left_semi")
+    val ssets = reps.join(broadcast(candIds), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), TextOps.shingleSet(col("text"), w).as("sset"))
-    cand
+    val repPairs = cand
       .join(ssets.select(col("doc_id").as("a"), col("sset").as("sa")), "a")
       .join(ssets.select(col("doc_id").as("b"), col("sset").as("sb")), "b")
-      .select(col("a"), col("b"), TextOps.jaccard(col("sa"), col("sb")).as("jaccard"))
+      .select(col("a"), col("b"), col("ga"), col("gb"),
+        TextOps.jaccard(col("sa"), col("sb")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    expandGroups(repPairs, members, "jaccard")
+      .unionByName(withinGroupPairs(members, multi)
+        .withColumn("jaccard", lit(1.0))
+        .filter(lit(1.0) >= threshold))
   }
 
   /** Exact duplicate groups by full-text hash — the scale-safe exact

@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 import graft.engine.Dedup
 
 class DedupSpec extends AnyFunSuite {
@@ -72,5 +73,84 @@ class DedupSpec extends AnyFunSuite {
 
   test("simhashNearDup refuses a threshold the banding cannot guarantee") {
     intercept[IllegalArgumentException] { Dedup.simhashNearDup(corpus, t = 4) }
+  }
+
+  // ---- adversarial scale robustness (round-12 verdict item #2) ----
+  //
+  // The web-scale killer input: a huge group of IDENTICAL boilerplate
+  // docs. No band-key salting can split identical signatures, so the
+  // pipelines collapse identical texts to one representative before
+  // banding — the candidate/verify machinery must see ONE doc where the
+  // corpus has ten thousand. (A mass of near-identical-but-distinct docs
+  // at pairwise jaccard near the threshold is intrinsically candidate-
+  // quadratic under (b=16, r=2) banding — the LSH curve itself flags
+  // those pairs, and pruning them would change the operator's recall
+  // contract; the defense there is the hot-bucket salting, exercised
+  // below by forcing maxBucket=1 on the real corpus.)
+
+  private def adversarialCorpus = {
+    val boiler = "all rights reserved this page is provided as is without " +
+      "warranty of any kind express or implied including merchantability"
+    spark.range(0, 10000).selectExpr("id as doc_id", s"'$boiler' as text")
+      .union(Seq(
+        (20000L, base),
+        (20001L, base.replace("layer", "stage")), // near-dup of 20000
+        (30000L, "completely unrelated control document about deep sea " +
+          "creatures bioluminescence and hydrothermal vents")
+      ).toDF("doc_id", "text"))
+  }
+
+  test("adversarial: 10k identical docs never reach the candidate join") {
+    val (cand, _, reps, _) = Dedup.minhashRepCandidates(adversarialCorpus, maxBucket = 10)
+    assert(reps.count() == 4, "10k identical texts must collapse to one representative")
+    // 4 reps -> at most C(4,2) = 6 candidate pairs, where the uncollapsed
+    // join would have produced ~5e7 within one bucket
+    assert(cand.count() <= 6L)
+  }
+
+  test("adversarial: 10k identical docs complete with exact quadratic output") {
+    val docs = adversarialCorpus
+    // C(10000, 2) identical pairs (jaccard exactly 1.0) + the planted
+    // near-dup pair — emitted through the salted expand joins, never
+    // through the verify
+    val out = Dedup.minhashLshJaccard(docs, threshold = 0.8, maxBucket = 10)
+    val inGroup = out.filter(col("a") < 10000 && col("b") < 10000)
+    assert(inGroup.count() == 49995000L)
+    val planted = out.filter(col("a") === 20000L && col("b") === 20001L).collect()
+    assert(planted.length == 1 && planted(0).getDouble(2) >= 0.8)
+    assert(out.filter(col("a") === 30000L || col("b") === 30000L).count() == 0)
+
+    val sh = Dedup.simhashNearDup(docs, t = 3, maxBucket = 10)
+    assert(sh.filter(col("a") < 10000 && col("b") < 10000).count() == 49995000L)
+    assert(sh.filter((col("a") < 10000) =!= (col("b") < 10000)).count() == 0,
+      "boilerplate group must not pair with distinct docs")
+  }
+
+  test("maximal salting (maxBucket=1) preserves simhash recall exactly") {
+    // with maxBucket=1 EVERY bucket holding >=2 reps takes the salted
+    // path, so the pigeonhole argument for the 4x12-bit complement
+    // sub-bands carries the full recall load — the result must be
+    // bit-identical to the unsalted pipeline on the real corpus
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("doc_id", "text")
+    def collect(mb: Int) = Dedup.simhashNearDup(docs, t = 3, maxBucket = mb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val unsalted = collect(Int.MaxValue)
+    assert(unsalted.nonEmpty, "corpus must contain at least one qualifying pair")
+    assert(collect(1) == unsalted)
+  }
+
+  test("maximal salting (maxBucket=1) preserves minhash output on the real corpus") {
+    // probabilistic rather than pigeonhole: a true pair in a hot bucket
+    // is re-found via any OTHER shared band, and pairs at jaccard >= 0.8
+    // share ~10 of 16 bands in expectation (miss ~ (1-j^2)^15 ~ 2e-7).
+    // Deterministic data + hashes make this a fixed, re-runnable check.
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("doc_id", "text")
+    def collect(mb: Int) = Dedup.minhashLshJaccard(docs, threshold = 0.8, maxBucket = mb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val unsalted = collect(Int.MaxValue)
+    assert(unsalted.nonEmpty, "corpus must contain at least one qualifying pair")
+    assert(collect(1) == unsalted)
   }
 }

@@ -167,6 +167,13 @@ class PlanAuditSpec extends AnyFunSuite {
     val plan = plans("o22_minhash_lsh_jaccard")
     assert(plan.contains("LeftSemi"),
       s"expected a candidate-id semi-join in the verify stage, got:\n$plan")
+    // and the semi-join must be BROADCAST-fed: candIds is bounded by the
+    // LSH collision rate, so shipping it to the corpus side keeps the
+    // corpus shuffle-free — a shuffled LeftSemi here would move every
+    // doc's bytes for a candidate set that fits in one broadcast
+    assert(plan.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftSemi")),
+      s"expected the candidate-id LeftSemi to be a BroadcastHashJoin, got:\n$plan")
   }
 
   test("month predicates on the gold fact prune partitions, not just rows") {
