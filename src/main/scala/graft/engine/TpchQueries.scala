@@ -284,7 +284,11 @@ object TpchQueries {
           col("l_partkey") === col("p_partkey"))
         .join(thresholds, "l_partkey")
         .filter(col("l_quantity") < col("qty_threshold"))
-        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+        // revenue summed in DECIMAL (the t17/o51 convention): a double
+        // sum is summation-order-dependent, and rounding it at 2
+        // decimals can flip the last digit between engines
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,4)")) / 7.0, 2)
+          .cast("double").as("avg_yearly"))
     }),
 
     // Q21 shape: semi ⨝ anti composition over a self-referencing fact —
@@ -351,7 +355,146 @@ object TpchQueries {
         .agg(count(col("o_orderkey")).as("c_count"))
         .groupBy(col("c_count"))
         .agg(count(lit(1)).as("custdist"))
-        .orderBy(col("custdist").desc, col("c_count").desc))
+        .orderBy(col("custdist").desc, col("c_count").desc)),
+
+    // Q8 shape: national market share — the share-of-total ratio over a
+    // multi-dimensional join (fact ⋈ orders ⋈ customer-side snowflake to
+    // region ⋈ part filter ⋈ supplier-side nation). Both the numerator
+    // (conditional) and denominator sums run in DECIMAL and the ratio is
+    // one double division of exact values, so the share cannot drift
+    // with summation order. Fixed-size dims broadcast; the two fact-side
+    // joins stay unhinted for AQE.
+    "t18_market_share" -> ((s, d) => {
+      val n = nation(s, d)
+      val vol = lineitem(s, d)
+        .join(orders(s, d)
+            .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+              col("o_orderdate") < to_timestamp(lit("1998-01-01"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(part(s, d).filter(col("p_type") === "PROMO")
+          .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(customer(s, d).select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n.select(col("n_nationkey").as("cn_key"),
+          col("n_regionkey"))), col("c_nationkey") === col("cn_key"))
+        .join(broadcast(region(s, d).filter(col("r_name") === "EUROPE")
+          .select(col("r_regionkey"))), col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n.select(col("n_nationkey").as("sn_key"),
+          col("n_name").as("supp_nation"))), col("s_nationkey") === col("sn_key"))
+        .select(year(col("o_orderdate")).cast("long").as("o_year"),
+          (col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(1) - col("l_discount").cast("decimal(18,4)"))).as("volume"),
+          col("supp_nation"))
+      vol.groupBy(col("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_3", col("volume"))).cast("double") /
+            sum(col("volume")).cast("double"), 4).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // Q9 shape: product-type profit rollup — a name-filtered part scan
+    // driving a multi-way join (lineitem ⋈ part ⋈ supplier ⋈ nation ⋈
+    // orders) with a composed arithmetic measure, rolled up by nation
+    // and order year. partsupp's supplycost is adapted to the part's
+    // retail price; the measure runs entirely in DECIMAL.
+    "t19_profit_rollup" -> ((s, d) =>
+      lineitem(s, d)
+        .join(broadcast(part(s, d)
+            .filter(col("p_name").like("%gear%"))
+            .select(col("p_partkey"), col("p_retailprice"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation(s, d).select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"),
+          (col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(1) - col("l_discount").cast("decimal(18,4)")) -
+            col("p_retailprice").cast("decimal(18,4)") *
+              col("l_quantity").cast("decimal(18,4)")).as("amount"))
+        .groupBy(col("nation"), col("o_year"))
+        .agg(round(sum(col("amount")), 2).cast("double").as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)),
+
+    // Q11 shape: grouped value vs a GLOBAL scalar threshold — per-part
+    // shipped value from one region's suppliers, kept only when it
+    // exceeds a fixed fraction of the region's total (HAVING against a
+    // scalar subquery over the SAME scope). Both sums are exact DECIMAL;
+    // the single-row total is broadcast (a 1-row nested-loop join, the
+    // t11 pattern).
+    "t20_value_concentration" -> ((s, d) => {
+      val asiaValue = lineitem(s, d)
+        .join(broadcast(supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation(s, d).select(col("n_nationkey"), col("n_regionkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")
+          .select(col("r_regionkey"))), col("n_regionkey") === col("r_regionkey"))
+        .select(col("l_partkey"),
+          (col("l_extendedprice").cast("decimal(18,4)") *
+            col("l_quantity").cast("decimal(18,4)")).as("v"))
+      val byPart = asiaValue.groupBy(col("l_partkey")).agg(sum(col("v")).as("pv"))
+      val total = asiaValue.agg(sum(col("v")).as("tv"))
+      byPart.join(broadcast(total))
+        .filter(col("pv").cast("double") > col("tv").cast("double") * 0.001)
+        .select(col("l_partkey"), round(col("pv"), 2).cast("double").as("part_value"))
+        .orderBy(col("part_value").desc, col("l_partkey"))
+    }),
+
+    // Q16 shape: NOT-IN exclusion + COUNT DISTINCT over a derived
+    // part-supplier link (the testdata's partsupp is the distinct
+    // (l_partkey, l_suppkey) projection of the fact). Suppliers in
+    // deficit stand in for Q16's complaint filter; NOT IN on a non-null
+    // key plans as a left-anti join, and the distinct count is per
+    // (brand, type, size) group.
+    "t21_supplier_part_types" -> ((s, d) => {
+      val link = lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      link
+        .join(broadcast(supplier(s, d).filter(col("s_acctbal") < 0)
+          .select(col("s_suppkey"))), col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .join(broadcast(part(s, d)
+            .filter(col("p_brand") =!= "Brand#4" &&
+              !col("p_type").like("MED%") &&
+              col("p_size").isin(1, 4, 7, 10, 14, 19, 23, 29))
+            .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    }),
+
+    // Q20 shape: the nested semi-join chain — suppliers (in one nation)
+    // who shipped a meaningful volume of a name-filtered part family in
+    // one year: supplier ←semi← (part,supplier volumes HAVING qty>30)
+    // ←semi← name-filtered parts. Each link prunes the next; nothing
+    // widens. Quantities are integral, so the HAVING threshold compares
+    // exact longs.
+    "t22_qualified_suppliers" -> ((s, d) => {
+      val qualified = lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01")))
+        .join(broadcast(part(s, d).filter(col("p_name").like("small%"))
+          .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"),
+          "left_semi")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("qty"))
+        .filter(col("qty") > 30)
+      supplier(s, d)
+        .join(qualified.select(col("l_suppkey")), col("s_suppkey") === col("l_suppkey"),
+          "left_semi")
+        .join(broadcast(nation(s, d).filter(col("n_name") === "NATION_5")
+          .select(col("n_nationkey"))), col("s_nationkey") === col("n_nationkey"),
+          "left_semi")
+        .select(col("s_name"), round(col("s_acctbal"), 2).as("s_acctbal"))
+        .orderBy("s_name")
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -415,7 +558,8 @@ object TpchQueries {
         |         0.2 * CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
         |             / COUNT(*) AS qty_threshold
         |  FROM lineitem GROUP BY l_partkey)
-        |SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) / 7.0, 2)
+        |       AS DOUBLE) AS avg_yearly
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#4'
         |JOIN th ON th.l_partkey = lineitem.l_partkey
@@ -450,6 +594,83 @@ object TpchQueries {
         |FROM rev JOIN supplier ON s_suppkey = l_suppkey
         |WHERE tr = (SELECT MAX(tr) FROM rev)
         |ORDER BY s_suppkey""".stripMargin,
+
+    "t18_market_share" ->
+      """WITH vol AS (
+        |  SELECT year(CAST(o_orderdate AS TIMESTAMP)) AS o_year,
+        |         CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,4))) AS volume,
+        |         sn.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |   AND CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01'
+        |   AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1998-01-01'
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey)
+        |SELECT o_year,
+        |       ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume END) AS DOUBLE)
+        |             / CAST(SUM(volume) AS DOUBLE), 4) AS mkt_share
+        |FROM vol GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "t19_profit_rollup" ->
+      """SELECT n_name AS nation,
+        |       year(CAST(o_orderdate AS TIMESTAMP)) AS o_year,
+        |       CAST(ROUND(SUM(
+        |         CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,4))) -
+        |         CAST(p_retailprice AS DECIMAL(18,4)) *
+        |           CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%gear%'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY n_name, year(CAST(o_orderdate AS TIMESTAMP))
+        |ORDER BY nation, o_year DESC""".stripMargin,
+
+    "t20_value_concentration" ->
+      """WITH av AS (
+        |  SELECT l_partkey,
+        |         CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |           CAST(l_quantity AS DECIMAL(18,4)) AS v
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA')
+        |SELECT l_partkey, CAST(ROUND(SUM(v), 2) AS DOUBLE) AS part_value
+        |FROM av GROUP BY l_partkey
+        |HAVING CAST(SUM(v) AS DOUBLE) > CAST((SELECT SUM(v) FROM av) AS DOUBLE) * 0.001
+        |ORDER BY part_value DESC, l_partkey""".stripMargin,
+
+    "t21_supplier_part_types" ->
+      """WITH link AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p_brand, p_type, p_size,
+        |       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM link JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#4' AND p_type NOT LIKE 'MED%'
+        |  AND p_size IN (1, 4, 7, 10, 14, 19, 23, 29)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "t22_qualified_suppliers" ->
+      """WITH q AS (
+        |  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS qty
+        |  FROM lineitem
+        |  WHERE CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01'
+        |    AND CAST(l_shipdate AS TIMESTAMP) < TIMESTAMP '1997-01-01'
+        |    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        |  GROUP BY l_partkey, l_suppkey
+        |  HAVING SUM(CAST(l_quantity AS BIGINT)) > 30)
+        |SELECT s_name, ROUND(s_acctbal, 2) AS s_acctbal
+        |FROM supplier
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM q)
+        |  AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_5')
+        |ORDER BY s_name""".stripMargin,
 
     "t16_order_count_distribution" ->
       """WITH c_orders AS (
