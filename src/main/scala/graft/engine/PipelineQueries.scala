@@ -251,6 +251,37 @@ object PipelineQueries {
         .limit(20)
     }),
 
+    // Skew rehearsal promoted into the registry (round-12): a
+    // deterministic "one celebrity key" fact — rows where
+    // (l_orderkey + l_linenumber) % 3 == 0 (portable arithmetic, the
+    // oracle replays it) are remapped onto the smallest order key, so
+    // one key owns ~1/3 of the fact — joined to orders and rolled up.
+    // The pre-join repartition(24) is the rehearsal's point, not an
+    // accident: AQE's skew split slices a hot reduce partition along
+    // MAP-OUTPUT boundaries, so the skewed side must arrive from many
+    // mappers (a single-file scan is one mapper and the hot partition
+    // is one indivisible block — the split silently cannot happen).
+    // The result is split-invariant; PlanAuditSpec EXECUTES this query
+    // under rehearsal-scaled thresholds and asserts the executed plan
+    // carries isSkewJoin plus >1 partial-reducer slice. DECIMAL sum
+    // keeps the revenue identical across however many slices the
+    // runtime decides on.
+    "o52_skew_join_rehearsal" -> ((s, d) => {
+      val hot = broadcast(Tables.orders(s, d).agg(min(col("o_orderkey")).as("hk")))
+      Tables.lineitem(s, d)
+        .crossJoin(hot)
+        .withColumn("sk_orderkey",
+          when(pmod(col("l_orderkey") + col("l_linenumber"), lit(3)) === 0,
+            col("hk")).otherwise(col("l_orderkey")))
+        .repartition(24)
+        .join(Tables.orders(s, d), col("sk_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("line_count"),
+          round(sum(col("l_extendedprice").cast("decimal(18,4)")), 2)
+            .cast("double").as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
     // bottom-k-by-hash sampled percentiles: approximate quantiles from a
     // fixed-size mergeable buffer like x04, but the sample membership is
     // a deterministic function of the portable row hash — so unlike the
@@ -666,6 +697,21 @@ object PipelineQueries {
          |FROM fact f JOIN dim d ON f.customer_id = d.customer_id
          |GROUP BY 1, 2
          |ORDER BY revenue DESC, f.customer_id
-         |LIMIT 20""".stripMargin
+         |LIMIT 20""".stripMargin,
+
+    "o52_skew_join_rehearsal" ->
+      """WITH sk AS (
+        |  SELECT CASE WHEN (l_orderkey + l_linenumber) % 3 = 0
+        |              THEN (SELECT MIN(o_orderkey) FROM orders)
+        |              ELSE l_orderkey END AS sk_orderkey,
+        |         l_extendedprice
+        |  FROM lineitem)
+        |SELECT o_orderpriority,
+        |       CAST(COUNT(*) AS BIGINT) AS line_count,
+        |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2)
+        |            AS DOUBLE) AS revenue
+        |FROM sk JOIN orders ON sk_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
   )
 }

@@ -32,7 +32,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "o23_knn_cosine", "o30_embedding_neardup", "x01_ann_ivf",
     "o41_tfidf", // 1-row corpus-size scalar joined via broadcast
     "t11_dormant_customers", // 1-row balance-threshold scalar broadcast
-    "t20_value_concentration") // 1-row region-total scalar broadcast
+    "t20_value_concentration", // 1-row region-total scalar broadcast
+    "o52_skew_join_rehearsal") // 1-row hot-key scalar broadcast
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.collect {
@@ -175,6 +176,52 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.linesIterator.exists(l =>
       l.contains("BroadcastHashJoin") && l.contains("LeftSemi")),
       s"expected the candidate-id LeftSemi to be a BroadcastHashJoin, got:\n$plan")
+  }
+
+  test("o52 splits its hot partition under rehearsal-scaled skew thresholds") {
+    // the registry's skew rehearsal: o52 manufactures a key owning ~1/3
+    // of the fact and arrives at the join from 24 mappers. Under
+    // thresholds scaled to testdata bytes (the decision logic —
+    // partition > max(floor, factor × median) → slice along map-output
+    // boundaries to advisory size — is scale-free, only the constants
+    // are rehearsal-sized), the EXECUTED plan must carry the two marks
+    // of a real runtime split: an isSkewJoin sort-merge join and >1
+    // PartialReducerPartitionSpec slice on the hot side's shuffle read.
+    import org.apache.spark.sql.execution.PartialReducerPartitionSpec
+    import org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.shuffle.partitions")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8k")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8k")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.shuffle.partitions", "16")
+      val df = SparkEntry.queries("o52_skew_join_rehearsal")(spark, sf)
+      // drain THIS QueryExecution: a noop write plans a FRESH one,
+      // leaving this df's adaptive plan un-executed and its runtime
+      // skew marks unset (the round-10 probe trap)
+      df.queryExecution.toRdd.foreachPartition(_ => ())
+      val nodes = PlanDiff.flatten(df.queryExecution.executedPlan)
+      val skewJoins = nodes.count {
+        case j: SortMergeJoinExec => j.isSkewJoin
+        case _ => false
+      }
+      val slices = nodes.collect { case r: AQEShuffleReadExec =>
+        r.partitionSpecs.count(_.isInstanceOf[PartialReducerPartitionSpec])
+      }.sum
+      assert(skewJoins > 0,
+        s"expected an isSkewJoin SMJ in o52's executed plan:\n${df.queryExecution.executedPlan}")
+      assert(slices > 1,
+        s"hot partition was not sliced into partial-reducer ranges (specs=$slices)")
+    } finally keys.foreach(k => saved(k).fold(conf.unset(k))(conf.set(k, _)))
   }
 
   test("month predicates on the gold fact prune partitions, not just rows") {
