@@ -97,14 +97,20 @@ object ScaleData {
                   w => concat(w, lit("_r"), col("rep"))), " ")))
             .withColumn("n_chars", length(col("text")))
         case "embeddings" =>
-          // rotate by rep positions: norm-preserving, decorrelates the
-          // pseudo-random vectors so cosine pairs don't degenerate
-          keyed.withColumn("embedding",
-            when(col("rep") === 0, col("embedding")).otherwise(
-              concat(
-                slice(col("embedding"), col("rep") + 1,
-                  size(col("embedding")) - col("rep")),
-                slice(col("embedding"), lit(1), col("rep")))))
+          // rotate by rep MOD dimension positions: norm-preserving,
+          // decorrelates the pseudo-random vectors so cosine pairs
+          // don't degenerate. The pmod guard matters for factor >
+          // embedding dimension: an unguarded rep there drives
+          // slice() lengths negative and silently corrupts vectors
+          keyed
+            .withColumn("__r", pmod(col("rep"), size(col("embedding"))))
+            .withColumn("embedding",
+              when(col("__r") === 0, col("embedding")).otherwise(
+                concat(
+                  slice(col("embedding"), col("__r") + 1,
+                    size(col("embedding")) - col("__r")),
+                  slice(col("embedding"), lit(1), col("__r")))))
+            .drop("__r")
         case _ => keyed
       }
       transformed.drop("rep")
@@ -119,8 +125,14 @@ object ScaleData {
       // the driver's tables are single parquet FILES; our Tables loader
       // accepts directories too, so a directory-per-table output is fine
       // — but keep per-table partition counts proportional to size so
-      // the sf1 scan parallelism resembles a real sf1 export
-      val parts = math.max(1, (df.count() / 150000L).toInt)
+      // the sf1 scan parallelism resembles a real sf1 export. Row count
+      // is source-metadata-count × factor (exact: replicate() unions
+      // factor full copies) so the replicate lineage executes ONCE, in
+      // the write — counting df itself would run the whole explode +
+      // transform a second time for a number already known.
+      val rows = if (fixed.contains(t)) src(t).count()
+                 else src(t).count() * factor
+      val parts = math.max(1, (rows / 150000L).toInt)
       df.repartition(parts).write.mode("overwrite").parquet(out)
       println(s"[scale] $t -> $out ($parts files)")
     }
