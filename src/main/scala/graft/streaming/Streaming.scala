@@ -92,7 +92,8 @@ object Streaming {
     */
   def runAvailableNow(df: DataFrame, name: String,
                       mode: OutputMode = OutputMode.Complete(),
-                      statePartitions: Int = 8): DataFrame = {
+                      statePartitions: Int = 8,
+                      noDataBatches: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     // Complete: every batch is the full result → overwrite keeps the
     // last (= final) one. Append: new rows only → each batch lands in
@@ -130,6 +131,18 @@ object Streaming {
     try Streaming.synchronized {
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+      // noDataBatches=false skips the trailing empty micro-batch. That
+      // batch exists to advance the watermark so TIMEOUT/EVICTION
+      // effects (append-mode window finalization, state timeouts) can
+      // fire — a caller whose results are emitted EAGERLY (inner
+      // stream-stream join matches, Complete-mode aggregates) gets an
+      // identical drained result without paying one more full pass of
+      // state-store lifecycles. Callers relying on event-time timeouts
+      // must keep the default.
+      val prevNoData = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      spark.conf.set(
+        "spark.sql.streaming.noDataMicroBatches.enabled", noDataBatches.toString)
       try {
         val q = df.writeStream
           .queryName(name)
@@ -145,7 +158,10 @@ object Streaming {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+      }
     } finally
       // released on failure too — a crashed stream must not park its
       // state store + WAL on disk for the session's lifetime
