@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.{PortableHashFunctions, TextHashFunctions}
 
@@ -25,17 +25,15 @@ import graft.functions.{PortableHashFunctions, TextHashFunctions}
   *  1. IDENTICAL boilerplate (millions of byte-equal docs — the single
   *     most common real condition in training corpora). No band-key
   *     salting can split these: equal text ⇒ equal signature ⇒ equal
-  *     salt. Both pipelines therefore COLLAPSE identical texts first
-  *     (group by md5(text), one representative per distinct text; two
-  *     narrow linear scans, no per-group row blow-up), run the band
-  *     join over representatives only, and re-expand at the end.
-  *     Identical-text pairs need no signatures and no verify at all —
-  *     equal shingle sets have Jaccard exactly 1.0 and equal SimHash
-  *     exactly hamming 0 — so the quadratic part of the OUTPUT (which
-  *     is inherent in the pair contract, not an artifact) is emitted as
-  *     trivial id pairs through a salted self-join ([[EmitSalts]]-way,
-  *     so one giant group's emission spreads across tasks instead of
-  *     one straggler), never through the candidate/verify machinery.
+  *     salt. Both pipelines therefore COLLAPSE identical texts to one
+  *     representative per distinct text before banding and re-expand at
+  *     the end. Identical-text pairs need no verify at all — equal
+  *     shingle sets have Jaccard exactly 1.0 and equal SimHash exactly
+  *     hamming 0 — so the quadratic part of the OUTPUT (inherent in the
+  *     pair contract, not an artifact) is emitted as trivial id pairs
+  *     through a salted self-join ([[EmitSalts]]-way, so one
+  *     giant group's emission spreads across tasks instead of one
+  *     straggler), never through the candidate/verify machinery.
   *  2. Degenerate BAND BUCKETS of distinct texts (near-boilerplate that
   *     agrees on one band). Buckets whose representative count exceeds
   *     `maxBucket` get their band key SALTED with a signature-derived
@@ -49,6 +47,17 @@ import graft.functions.{PortableHashFunctions, TextHashFunctions}
   *     probability at j = 0.8 (on top of the curve's own 8e-8); buckets
   *     under the bound are untouched, so at testdata scales the output
   *     is bit-identical to the unsalted pipeline.
+  *
+  * Execution shape (round-12): text is heavy and hashing it is the
+  * dominant compute, so each pipeline makes exactly ONE pass over the
+  * corpus text computing the group key (md5) and the signature together,
+  * materialized behind an explicit repartition Exchange that every
+  * consumer — the rep aggregation, the hot-bucket census, both
+  * band-join sides, membership expansion — re-reads via ReusedExchange.
+  * Text bytes are never shuffled: only 32-char keys, fixed-size
+  * signatures and ids move. The one other text pass is the MinHash
+  * verify's shingling, and it is candidate-pruned (broadcast semi-join,
+  * plan-audited).
   *
   * Bucket skew is thereby bounded: ≤ 65k buckets per SimHash band index
   * with hot ones split 4×4096-way; MinHash hot buckets split by 15
@@ -74,24 +83,24 @@ object Dedup {
   val EmitSalts = 16
 
   // single-split corpora are spread via the shared gated probe
-  // ([[Spread]]) before the compute-bound hash passes
+  // ([[Spread]]) before the compute-bound hash pass
   private def spread(docs: DataFrame): DataFrame = Spread(docs)
 
-  /** Identical-text collapse: membership (gkey, doc_id), one
-    * representative per distinct text (min doc_id carries the group),
-    * and the multi-member group keys. Two narrow linear scans of the
-    * corpus (md5 is ~the cost of one signature pass); no collect_list
-    * — a million-member group must not become a million-element row.
+  /** The single corpus-text pass: (doc_id, gkey = md5(text), sig),
+    * pinned behind a repartition Exchange so every downstream consumer
+    * — the rep aggregation, the hot-bucket census, both band-join
+    * sides, the membership/expansion frames — re-reads ONE
+    * computation via exchange reuse instead of re-scanning the corpus.
+    * Signatures of duplicate members are computed (not just reps') —
+    * that trade buys never shuffling text: the exchange carries
+    * ~300 bytes/doc (id + 32-char key + fixed-size signature), so at
+    * 100 TB of text the one barrier moves ~0.3% of the corpus bytes
+    * where each avoided re-scan would have read all of them.
     */
-  private def collapse(docs0: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val docs = spread(docs0)
-    val members = docs.select(md5(col("text")).as("gkey"), col("doc_id"))
-    val reps = docs.groupBy(md5(col("text")).as("gkey"))
-      .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"),
-        count(lit(1)).as("gn"))
-    val multi = reps.filter(col("gn") > 1).select("gkey")
-    (members, reps, multi)
-  }
+  private def projected(docs0: DataFrame, sig: Column, sigName: String): DataFrame =
+    spread(docs0)
+      .select(col("doc_id"), md5(col("text")).as("gkey"), sig.as(sigName))
+      .repartition(col("doc_id"))
 
   /** All intra-group pairs (a < b) of multi-member identical-text
     * groups, via the EmitSalts-way salted self-join: the a-side keeps
@@ -145,10 +154,14 @@ object Dedup {
   def simhashNearDup(docs0: DataFrame, t: Int = 3,
                      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(t <= 3, s"4-band/16-bit bucketing guarantees recall only for t <= 3, got $t")
-    val (members, reps, multi) = collapse(docs0)
-    val sh = reps.select(col("gkey"), col("doc_id"),
-      PortableHashFunctions.simhashPortable64(col("text")).as("s"))
-    val banded = sh
+    val proj = projected(docs0,
+      PortableHashFunctions.simhashPortable64(col("text")), "s")
+    val members = proj.select(col("gkey"), col("doc_id"))
+    val reps = proj.groupBy(col("gkey"))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("s")).as("s"),
+        count(lit(1)).as("gn"))
+    val multi = reps.filter(col("gn") > 1).select("gkey")
+    val banded = reps
       .withColumn("j", explode(sequence(lit(0), lit(3))))
       .withColumn("band", expr("(s >> (j * 16)) & 65535"))
     // hot buckets split by 4×12-bit sub-bands of the 48 complement
@@ -163,14 +176,17 @@ object Dedup {
           "(s & (shiftleft(cast(1 as bigint), j*16) - 1)) | " +
           "shiftleft(if(j = 3, cast(0 as bigint), shiftrightunsigned(s, (j+1)*16)), j*16)" +
           ", m*12) & 4095")).otherwise(lit(0L)))
-    val a = salted.select(col("doc_id").as("a"), col("gkey").as("ga"),
-      col("s").as("sa"), col("j"), col("band"), col("m"), col("salt"))
-    val b = salted.select(col("doc_id").as("b"), col("gkey").as("gb"),
-      col("s").as("sb"), col("j"), col("band"), col("m"), col("salt"))
-    val repPairs = a.join(b, Seq("j", "band", "m", "salt"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"), col("ga"), col("gb"),
-        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
+    // alias self-join (NOT two renamed projections): both sides are the
+    // identical plan, so their shuffles dedup via exchange reuse
+    val A = salted.alias("A")
+    val B = salted.alias("B")
+    val repPairs = A.join(B,
+        col("A.j") === col("B.j") && col("A.band") === col("B.band") &&
+          col("A.m") === col("B.m") && col("A.salt") === col("B.salt") &&
+          col("A.doc_id") < col("B.doc_id"))
+      .select(col("A.doc_id").as("a"), col("B.doc_id").as("b"),
+        col("A.gkey").as("ga"), col("B.gkey").as("gb"),
+        bit_count(col("A.s").bitwiseXOR(col("B.s"))).cast("long").as("hamming"))
       .filter(col("hamming") <= t)
       .distinct() // a pair can match in multiple (sub-)bands
     expandGroups(repPairs, members, "hamming")
@@ -178,22 +194,25 @@ object Dedup {
         .withColumn("hamming", lit(0L)))
   }
 
-  /** Rep-level LSH candidate pairs (a, b, ga, gb): banded MinHash with
-    * identical-text collapse and hot-bucket other-band salting.
-    * Exposed at package level so the adversarial spec can assert the
-    * candidate set stays bounded where the unsalted join would go
-    * quadratic.
+  /** Rep-level LSH candidate pairs (a, b, ga, gb) plus the collapse
+    * frames: banded MinHash with identical-text collapse and hot-bucket
+    * other-band salting. Exposed at package level so the adversarial
+    * spec can assert the candidate set stays bounded where the unsalted
+    * join would go quadratic.
     */
   private[graft] def minhashRepCandidates(docs0: DataFrame, k: Int = 32,
                                           bandRows: Int = 2, w: Int = 3,
                                           maxBucket: Int = DefaultMaxBucket)
   : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     require(k % bandRows == 0, "k must be divisible by bandRows")
-    val (members, reps, multi) = collapse(docs0)
     val nBands = k / bandRows
-    val sigs = reps.select(col("gkey"), col("doc_id"),
-      TextHashFunctions.minhash(col("text"), k, w).as("sig"))
-    val banded = sigs
+    val proj = projected(docs0, TextHashFunctions.minhash(col("text"), k, w), "sig")
+    val members = proj.select(col("gkey"), col("doc_id"))
+    val reps = proj.groupBy(col("gkey"))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("sig")).as("sig"),
+        count(lit(1)).as("gn"))
+    val multi = reps.filter(col("gn") > 1).select("gkey")
+    val banded = reps
       .withColumn("j", explode(sequence(lit(0), lit(nBands - 1))))
       .withColumn("band", expr(
         (0 until bandRows).map(r => s"sig[j * $bandRows + $r]").mkString("struct(", ", ", ")")))
@@ -210,13 +229,15 @@ object Dedup {
         (0 until bandRows).map(r => s"sig[m * $bandRows + $r]")
           .mkString("xxhash64(", ", ", ")"))).otherwise(lit(0L)))
       .select(col("doc_id"), col("gkey"), col("j"), col("band"), col("m"), col("salt"))
-    val cand = salted.select(col("doc_id").as("a"), col("gkey").as("ga"),
-        col("j"), col("band"), col("m"), col("salt"))
-      .join(salted.select(col("doc_id").as("b"), col("gkey").as("gb"),
-        col("j"), col("band"), col("m"), col("salt")),
-        Seq("j", "band", "m", "salt"))
-      .filter(col("a") < col("b"))
-      .select("a", "b", "ga", "gb")
+    // alias self-join: identical child plans, one deduped exchange
+    val A = salted.alias("A")
+    val B = salted.alias("B")
+    val cand = A.join(B,
+        col("A.j") === col("B.j") && col("A.band") === col("B.band") &&
+          col("A.m") === col("B.m") && col("A.salt") === col("B.salt") &&
+          col("A.doc_id") < col("B.doc_id"))
+      .select(col("A.doc_id").as("a"), col("B.doc_id").as("b"),
+        col("A.gkey").as("ga"), col("B.gkey").as("gb"))
       .distinct()
     (cand, members, reps, multi)
   }
@@ -232,13 +253,13 @@ object Dedup {
   def minhashLshJaccard(docs0: DataFrame, threshold: Double = 0.8,
                         k: Int = 32, bandRows: Int = 2, w: Int = 3,
                         maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val (cand, members, reps, multi) =
+    val (cand, members, _, multi) =
       minhashRepCandidates(docs0, k, bandRows, w, maxBucket)
     // Shingle only the CANDIDATE reps: the exact-Jaccard verify needs
     // shingle sets for reps that appear in a candidate pair — a small
     // fraction of the corpus by LSH design — but Catalyst will not move
     // a selective join below an expensive projection on its own, so a
-    // naive `reps.select(shingleSet)` re-shingles the whole corpus and
+    // naive `docs.select(shingleSet)` re-shingles the whole corpus and
     // ships the (heavy, array-of-string) sets into both verify joins.
     // candIds is bounded by the LSH collision rate, so the semi-join is
     // pinned to a broadcast (plan-audited in PlanAuditSpec), keeping
@@ -246,7 +267,7 @@ object Dedup {
     val candIds = cand.select(col("a").as("doc_id"))
       .union(cand.select(col("b").as("doc_id")))
       .distinct()
-    val ssets = reps.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    val ssets = spread(docs0).join(broadcast(candIds), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), TextOps.shingleSet(col("text"), w).as("sset"))
     val repPairs = cand
       .join(ssets.select(col("doc_id").as("a"), col("sset").as("sa")), "a")
