@@ -41,10 +41,18 @@ object PlanDiff {
       case j: BroadcastNestedLoopJoinExec => s"BNLJ(${j.joinType})"
       case j: BaseJoinExec                => s"${j.nodeName}(${j.joinType})"
     }
-    val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeLike])
-    val broadcasts = nodes.count(_.isInstanceOf[BroadcastExchangeLike])
+    // a ReusedExchangeExec's child IS the original exchange instance, so
+    // the flat walk visits it once per consumer — dedupe by object
+    // identity to report EXECUTED exchanges (each unique instance runs
+    // once) separately from reuse sites (free at runtime)
+    def uniq(ps: Seq[SparkPlan]): Int =
+      ps.map(System.identityHashCode).distinct.size
+    val shuffles = uniq(nodes.filter(_.isInstanceOf[ShuffleExchangeLike]))
+    val broadcasts = uniq(nodes.filter(_.isInstanceOf[BroadcastExchangeLike]))
+    val reused = nodes.count(_.isInstanceOf[ReusedExchangeExec])
     val skewed = nodes.collect { case j: SortMergeJoinExec if j.isSkewJoin => j }.size
     s"joins=[${joins.mkString(",")}] shuffles=$shuffles broadcasts=$broadcasts" +
+      (if (reused > 0) s" reusedExchanges=$reused" else "") +
       (if (skewed > 0) s" skewJoins=$skewed" else "")
   }
 
