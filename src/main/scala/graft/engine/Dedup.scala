@@ -290,4 +290,102 @@ object Dedup {
     docs
       .groupBy(md5(col("text")).as("text_md5"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("group_size"))
+
+  /** EXACT n-gram Jaccard near-dup — all pairs with w-shingle Jaccard ≥
+    * threshold, with ZERO recall loss (the complement of
+    * [[minhashLshJaccard]]: that one trades a vanishing miss probability
+    * for never materializing corpus-sized postings; this one pays the
+    * postings shuffle for a recall GUARANTEE). Candidate generation is
+    * the public AllPairs/PPJoin prefix-filtering scheme (Bayardo et al.,
+    * WWW'07; Xiao et al., WWW'08):
+    *
+    *  - order all shingles globally by (document frequency, shingle)
+    *    ascending — rarest first;
+    *  - a doc with n distinct shingles indexes only its PREFIX, the
+    *    first `n - ⌈τ·n⌉ + 1` shingles under that order. If
+    *    J(A,B) ≥ τ then |A∩B| ≥ ⌈τ·max(|A|,|B|)⌉, and the globally
+    *    smallest common shingle must sit inside BOTH prefixes
+    *    (pigeonhole: fewer than ⌈τ·n⌉ non-common shingles fit after
+    *    it), so the postings self-join on prefix shingles finds every
+    *    qualifying pair — a superset, trimmed by the exact verify;
+    *  - the length filter drops (a, b) with τ·max(na, nb) > min(na, nb)
+    *    before the verify — such pairs cannot reach τ even if one set
+    *    contains the other.
+    *
+    * Degenerate inputs: identical texts collapse to one representative
+    * per distinct text FIRST (md5 group key, ids-only aggregation), so
+    * boilerplate floods neither the postings index nor the candidate
+    * join; pair output is re-expanded at the end exactly as
+    * [[minhashLshJaccard]] does. Near-identical boilerplate is what the
+    * df-ascending order defends against: a shingle shared by millions of
+    * reps has huge df, so it enters a doc's prefix only when ALL the
+    * doc's shingles are that common — the posting lists that drive the
+    * join stay rare-shingle-sided.
+    *
+    * Scale posture, stated honestly: postings are corpus-sized, so this
+    * operator shuffles O(corpus) twice (df count is map-side combined;
+    * the per-doc prefix rank sorts each doc's shingles locally). That is
+    * the inherent price of exactness — at 100 TB the LSH pipeline is the
+    * default and this is the audit/contract tool, the same division of
+    * labor as o30 (sampled exact) vs o42 (clustered) for embeddings.
+    *
+    * FP hygiene: ⌈τ·n⌉ is computed as `ceil(τ·n − 1e-9)` and the length
+    * filter as `min ≥ τ·max − 1e-9`: τ·n in doubles can land an ulp
+    * ABOVE the exact integer (0.6·5 = 3.0000000000000004), which would
+    * silently shorten the prefix / drop a boundary pair — recall loss.
+    * The epsilon errs toward MORE candidates, never fewer, and the
+    * exact verify keeps the output unchanged.
+    */
+  def ngramJaccardNearDup(docs0: DataFrame, threshold: Double,
+                          w: Int = 2): DataFrame = {
+    val eps = 1e-9
+    // identical-text collapse on an ids-only frame (no signature, so no
+    // need for the projected() exchange — md5 is the only text work)
+    val keyed = spread(docs0)
+      .select(col("doc_id"), md5(col("text")).as("gkey"))
+    val members = keyed.select(col("gkey"), col("doc_id"))
+    val reps = keyed.groupBy(col("gkey"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("gn"))
+    val multi = reps.filter(col("gn") > 1).select("gkey")
+    // one shingling pass over the REPS only, pinned behind a repartition
+    // Exchange (the projected() pattern): the postings explode, the
+    // prefix rank and both verify sides all re-read one computation.
+    // The exchange carries the shingle sets — corpus-sized, the honest
+    // cost of the exact algorithm (see the scale note above).
+    val ss = spread(docs0)
+      .join(reps.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), TextOps.shingleSet(col("text"), w).as("sset"))
+      .withColumn("n", size(col("sset")))
+      .repartition(col("doc_id"))
+    val posts = ss.select(col("doc_id"), col("n"), explode(col("sset")).as("sh"))
+    val dfreq = posts.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val prefixLen = col("n") - ceil(lit(threshold) * col("n") - lit(eps)) + 1
+    val ranked = posts.join(dfreq, "sh")
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
+      .filter(col("r") <= prefixLen)
+      .select(col("sh"), col("doc_id"), col("n"))
+    // alias self-join on the prefix postings: identical child plans, one
+    // deduped exchange; the length filter prunes before the verify
+    val A = ranked.alias("A")
+    val B = ranked.alias("B")
+    val cand = A.join(B,
+        col("A.sh") === col("B.sh") && col("A.doc_id") < col("B.doc_id") &&
+          least(col("A.n"), col("B.n")) >=
+            lit(threshold) * greatest(col("A.n"), col("B.n")) - lit(eps))
+      .select(col("A.doc_id").as("a"), col("B.doc_id").as("b"))
+      .distinct()
+    val repPairs = cand
+      .join(ss.select(col("doc_id").as("a"), col("sset").as("sa")), "a")
+      .join(ss.select(col("doc_id").as("b"), col("sset").as("sb")), "b")
+      .join(members.select(col("gkey").as("ga"), col("doc_id").as("a")), "a")
+      .join(members.select(col("gkey").as("gb"), col("doc_id").as("b")), "b")
+      .select(col("a"), col("b"), col("ga"), col("gb"),
+        TextOps.jaccard(col("sa"), col("sb")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    expandGroups(repPairs, members, "jaccard")
+      .unionByName(withinGroupPairs(members, multi)
+        .withColumn("jaccard", lit(1.0))
+        .filter(lit(1.0) >= threshold))
+  }
 }
