@@ -24,6 +24,16 @@ object DedupQueries {
     "o22_minhash_lsh_jaccard" -> ((s, d) =>
       Dedup.minhashLshJaccard(documents(s, d), threshold = 0.8).orderBy("a", "b")),
 
+    // n-gram prefix-filter Jaccard: EXACT near-dup audit (no probabilistic
+    // stage at all) — df-ordered prefix filter + length filter prune the
+    // candidate space, exact set Jaccard verifies. τ=0.6 with 2-gram
+    // shingles deliberately exercises the ⌈τ·n⌉ FP boundary (0.6·5 lands
+    // an ulp above 3.0) that the epsilon guard in the implementation
+    // defends against. The exact audit counterpart to o22's LSH estimate.
+    "o53_ngram_prefix_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardNearDup(documents(s, d), threshold = 0.6, w = 2)
+        .orderBy("a", "b")),
+
     // bottom-4 portable shingle-hash fingerprint per doc (winnowing-style
     // content fingerprint — reference `scripts/esplosione_dati.py:50-103`
     // made content-local and distributable). Spread, not repartition: the
@@ -55,7 +65,26 @@ object DedupQueries {
        |         END AS s
        |  FROM toks)""".stripMargin
 
+  // 2-gram variant of shinglesCte for the o53 exact-Jaccard audit.
+  private val shingles2Cte =
+    s"""$toksCte,
+       |sh AS (
+       |  SELECT doc_id, CASE WHEN len(t) <= 2 THEN [array_to_string(t, ' ')]
+       |         ELSE [array_to_string(list_slice(t, i, i+1), ' ') FOR i IN range(1, len(t))]
+       |         END AS s
+       |  FROM toks)""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "o53_ngram_prefix_jaccard" ->
+      s"""WITH $shingles2Cte,
+         |ss AS (SELECT doc_id, list_distinct(s) AS s FROM sh)
+         |SELECT a.doc_id AS a, b.doc_id AS b,
+         |       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |       CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+         |FROM ss a JOIN ss b ON a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |      CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.6
+         |ORDER BY a, b""".stripMargin,
     "o21_simhash_neardup" ->
       s"""WITH $toksCte,
          |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),

@@ -64,6 +64,57 @@ class DedupSpec extends AnyFunSuite {
         s"spurious ${(lsh.keySet -- exact.keySet).mkString(", ")}")
   }
 
+  test("ngramJaccardNearDup: exact-tau boundary pair found; identical texts collapse") {
+    // J(0,1) = |{bc,cd,de}| / |{ab,bc,cd,de,ef}| = 3/5 = 0.6 EXACTLY.
+    // Doc 0 has n=5 shingles, so its prefix length is 5-ceil(0.6*5)+1:
+    // in doubles 0.6*5 = 3.0000000000000004, so without the epsilon
+    // guard ceil gives 4 and the prefix shrinks to {ab,ef} — disjoint
+    // from doc 1's prefix {bc,cd} — and this pair is silently LOST.
+    // With the guard the prefix is {ab,ef,bc} and the pair is found.
+    val docs = Seq(
+      (0L, "a b c d e f"),
+      (1L, "b c d e"),
+      (2L, "a b c d e f"), // exact dup of 0 → collapse path
+      (3L, "zz yy xx ww vv uu tt")
+    ).toDF("doc_id", "text")
+    val out = Dedup.ngramJaccardNearDup(docs, threshold = 0.6, w = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out.get((0L, 2L)).contains(1.0), "identical pair via collapse path")
+    assert(out.get((0L, 1L)).exists(j => math.abs(j - 0.6) < 1e-12),
+      "pair at exactly tau must be found (FP ceil guard)")
+    assert(out.get((1L, 2L)).exists(j => math.abs(j - 0.6) < 1e-12),
+      "group expansion must carry the representative's jaccard")
+    assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      "unrelated doc must not pair")
+  }
+
+  test("ngramJaccardNearDup equals brute-force exact Jaccard on the real corpus") {
+    // ngram prefix-filter Jaccard is an EXACT algorithm — unlike the LSH
+    // completeness test above there is no probabilistic caveat: output
+    // must equal the inverted-index brute force bit-for-bit (same
+    // TextOps.jaccard expression on both sides ⇒ identical doubles).
+    import org.apache.spark.sql.functions._
+    import graft.engine.TextOps
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("doc_id", "text")
+    val ssets = docs.select(col("doc_id"), TextOps.shingleSet(col("text"), 2).as("sset"))
+    val inv = ssets.select(col("doc_id"), explode(col("sset")).as("sh"))
+    val exact = inv.select(col("doc_id").as("a"), col("sh"))
+      .join(inv.select(col("doc_id").as("b"), col("sh")), "sh")
+      .filter(col("a") < col("b")).select("a", "b").distinct()
+      .join(ssets.select(col("doc_id").as("a"), col("sset").as("sa")), "a")
+      .join(ssets.select(col("doc_id").as("b"), col("sset").as("sb")), "b")
+      .select(col("a"), col("b"), TextOps.jaccard(col("sa"), col("sb")).as("j"))
+      .filter(col("j") >= 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val got = Dedup.ngramJaccardNearDup(docs, threshold = 0.6, w = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.nonEmpty, "corpus must contain at least one qualifying pair")
+    assert(got == exact,
+      s"missed ${(exact.keySet -- got.keySet).mkString(", ")}; " +
+        s"spurious ${(got.keySet -- exact.keySet).mkString(", ")}")
+  }
+
   test("exactDedup groups by content hash and keeps the min id") {
     val groups = Dedup.exactDedup(corpus).collect()
       .map(r => r.getLong(1) -> r.getLong(2)).toMap // keep_id -> size
