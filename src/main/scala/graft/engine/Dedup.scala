@@ -268,13 +268,27 @@ object Dedup {
     val candIds = cand.select(col("a").as("doc_id"))
       .union(cand.select(col("b").as("doc_id")))
       .distinct()
+    // sorted sets + linear-merge intersect (SetKernels) for the same
+    // reason as [[ngramJaccardNearDup]]'s verify; the LENGTH filter
+    // (|A∩B|/|A∪B| ≥ τ ⇒ min(na,nb) ≥ τ·max(na,nb)) prunes pairs on two
+    // already-joined ints before any set is touched — LSH collisions
+    // between very differently-sized docs never pay the merge. The
+    // 1e-9 epsilon errs toward verifying MORE pairs, never fewer
+    // (τ·n in doubles can land an ulp above the exact boundary).
+    val eps = 1e-9
     val ssets = spread(docs0).join(broadcast(candIds), Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), TextOps.shingleSet(col("text"), w).as("sset"))
+      .select(col("doc_id"),
+        array_sort(TextOps.shingleSet(col("text"), w)).as("sset"))
+      .withColumn("n", size(col("sset")))
+    val inter = graft.functions.SetKernelFunctions
+      .sortedIntersectSize(col("sa"), col("sb")).cast("double")
     val repPairs = cand
-      .join(ssets.select(col("doc_id").as("a"), col("sset").as("sa")), "a")
-      .join(ssets.select(col("doc_id").as("b"), col("sset").as("sb")), "b")
+      .join(ssets.select(col("doc_id").as("a"), col("sset").as("sa"), col("n").as("na")), "a")
+      .join(ssets.select(col("doc_id").as("b"), col("sset").as("sb"), col("n").as("nb")), "b")
+      .filter(least(col("na"), col("nb")) >=
+        lit(threshold) * greatest(col("na"), col("nb")) - lit(eps))
       .select(col("a"), col("b"), col("ga"), col("gb"),
-        TextOps.jaccard(col("sa"), col("sb")).as("jaccard"))
+        (inter / (col("na") + col("nb") - inter).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
     expandGroups(repPairs, members, "jaccard")
       .unionByName(withinGroupPairs(members, multi)
@@ -311,7 +325,17 @@ object Dedup {
     *    qualifying pair — a superset, trimmed by the exact verify;
     *  - the length filter drops (a, b) with τ·max(na, nb) > min(na, nb)
     *    before the verify — such pairs cannot reach τ even if one set
-    *    contains the other.
+    *    contains the other;
+    *  - the POSITIONAL filter (PPJoin's second idea) prunes per PAIR:
+    *    both docs' shingle lists are sorted by the same global (df,
+    *    shingle) key, so the matched shingle at min rank on the a side
+    *    is the one at min rank on the b side — the pair's globally
+    *    first common shingle s* (no common shingle can precede it:
+    *    it would sit inside both prefixes, a join match with a smaller
+    *    rank). Every other common shingle sits after s* on both sides,
+    *    so |A∩B| ≤ 1 + min(na − ra, nb − rb) at s*'s ranks; pairs where
+    *    that bound can't reach α = ⌈τ/(1+τ)·(na+nb)⌉ (the J ≥ τ overlap
+    *    requirement) are dropped before any set is touched.
     *
     * Degenerate inputs: identical texts collapse to one representative
     * per distinct text FIRST (md5 group key, ids-only aggregation), so
@@ -340,10 +364,14 @@ object Dedup {
   def ngramJaccardNearDup(docs0: DataFrame, threshold: Double,
                           w: Int = 2): DataFrame = {
     val eps = 1e-9
-    // identical-text collapse on an ids-only frame (no signature, so no
-    // need for the projected() exchange — md5 is the only text work)
+    // identical-text collapse on an ids-only frame; pinned behind a
+    // repartition Exchange (the projected() pattern) because FIVE
+    // consumers read it — the rep aggregation plus both sides of the
+    // membership/expansion joins — and each un-pinned consumer would
+    // re-run the corpus md5 scan
     val keyed = spread(docs0)
       .select(col("doc_id"), md5(col("text")).as("gkey"))
+      .repartition(col("doc_id"))
     val members = keyed.select(col("gkey"), col("doc_id"))
     val reps = keyed.groupBy(col("gkey"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("gn"))
@@ -359,30 +387,65 @@ object Dedup {
       .withColumn("n", size(col("sset")))
       .repartition(col("doc_id"))
     val posts = ss.select(col("doc_id"), col("n"), explode(col("sset")).as("sh"))
-    val dfreq = posts.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    // unique LONG id per distinct shingle, fully declaratively: bucket
+    // by hash, rank within bucket, sid = rn·B + bucket — injective by
+    // construction (collision-FREE, unlike hashing the shingle), no
+    // global sort, no single-partition window; the per-bucket window is
+    // a vocabulary-sized shuffle, the same cost class as the df count.
+    // Everything downstream — prefix join key, positional ranks, verify
+    // sets — runs on longs: the per-pair merge then reads primitives
+    // out of unsafe arrays with zero allocation, where string sets cost
+    // an object per element access (~1e9 allocations at sf0.1's 2.4M
+    // candidate pairs — the old verify's actual bottleneck).
+    val B = 1 << 20
+    val sids = posts.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .withColumn("bkt", pmod(xxhash64(col("sh")), lit(B.toLong)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("bkt")).orderBy(col("sh"))))
+      .select(col("sh"), col("df"),
+        (col("rn").cast("long") * B + col("bkt")).as("sid"))
+    val postsSid = posts.join(sids, "sh")
+      .select(col("doc_id"), col("n"), col("df"), col("sid"))
+      .repartition(col("doc_id"))
     val prefixLen = col("n") - ceil(lit(threshold) * col("n") - lit(eps)) + 1
-    val ranked = posts.join(dfreq, "sh")
+    val ranked = postsSid
       .withColumn("r", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sid"))))
       .filter(col("r") <= prefixLen)
-      .select(col("sh"), col("doc_id"), col("n"))
+      .select(col("sid"), col("doc_id"), col("n"), col("r"))
+    // per-doc sorted-long shingle sets for the verify merge
+    val isets = postsSid.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("sid"))).as("iset"), first(col("n")).as("n"))
     // alias self-join on the prefix postings: identical child plans, one
-    // deduped exchange; the length filter prunes before the verify
+    // deduped exchange. The length filter AND the positional filter are
+    // both inside the JOIN CONDITION, pruning rows before they are ever
+    // emitted: 1+min(na−ra, nb−rb) ≥ α ⟺ ra ≤ na−α+1 ∧ rb ≤ nb−α+1,
+    // and since a pair's matches have co-monotone ranks on both sides
+    // (one shared global order), a qualifying pair's FIRST match always
+    // passes while every match of a positionally-hopeless pair fails —
+    // row-level filtering equals pair-level filtering, at join-output
+    // size instead of after a groupBy over it.
     val A = ranked.alias("A")
-    val B = ranked.alias("B")
-    val cand = A.join(B,
-        col("A.sh") === col("B.sh") && col("A.doc_id") < col("B.doc_id") &&
+    val Bs = ranked.alias("B")
+    val alpha = ceil(lit(threshold / (1.0 + threshold)) *
+      (col("A.n") + col("B.n")) - lit(eps))
+    val cand = A.join(Bs,
+        col("A.sid") === col("B.sid") && col("A.doc_id") < col("B.doc_id") &&
           least(col("A.n"), col("B.n")) >=
-            lit(threshold) * greatest(col("A.n"), col("B.n")) - lit(eps))
+            lit(threshold) * greatest(col("A.n"), col("B.n")) - lit(eps) &&
+          col("A.r") <= col("A.n") - alpha + 1 &&
+          col("B.r") <= col("B.n") - alpha + 1)
       .select(col("A.doc_id").as("a"), col("B.doc_id").as("b"))
       .distinct()
+    val inter = graft.functions.SetKernelFunctions
+      .sortedIntersectSizeLong(col("sa"), col("sb")).cast("double")
     val repPairs = cand
-      .join(ss.select(col("doc_id").as("a"), col("sset").as("sa")), "a")
-      .join(ss.select(col("doc_id").as("b"), col("sset").as("sb")), "b")
+      .join(isets.select(col("doc_id").as("a"), col("iset").as("sa"), col("n").as("na")), "a")
+      .join(isets.select(col("doc_id").as("b"), col("iset").as("sb"), col("n").as("nb")), "b")
       .join(members.select(col("gkey").as("ga"), col("doc_id").as("a")), "a")
       .join(members.select(col("gkey").as("gb"), col("doc_id").as("b")), "b")
       .select(col("a"), col("b"), col("ga"), col("gb"),
-        TextOps.jaccard(col("sa"), col("sb")).as("jaccard"))
+        (inter / (col("na") + col("nb") - inter).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
     expandGroups(repPairs, members, "jaccard")
       .unionByName(withinGroupPairs(members, multi)

@@ -26,17 +26,32 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects as a timestamp type. Read the nanos as raw longs
-    * (legacy.parquet.nanosAsLong) and truncate to microsecond timestamps —
-    * `div 1000` (exact integer division, no double rounding) matches
-    * DuckDB's own ns→µs truncation when it reads the same file.
+  /** events.parquet has shipped with two physical types for `ts` across
+    * driver testdata generations: TIMESTAMP(NANOS) (which Spark's parquet
+    * reader rejects as a timestamp — it surfaces as a raw long under
+    * legacy.parquet.nanosAsLong) and plain TIMESTAMP(MICROS). Adapt to
+    * whichever is on disk: longs are truncated ns→µs with exact integer
+    * division (`div 1000`, no double rounding — matches DuckDB's own
+    * truncation when it reads the same file); native µs timestamps arrive
+    * as TIMESTAMP_NTZ (no tz annotation in the file) and are cast to
+    * TIMESTAMP — the session tz is pinned to UTC everywhere, so the cast
+    * preserves wall-clock values and keeps downstream consumers
+    * (watermarks reject NTZ; prior oracle-green rounds hashed TIMESTAMP)
+    * on one type whichever file generation is on disk.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(
+            org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

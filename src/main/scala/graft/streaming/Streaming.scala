@@ -19,8 +19,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streaming {
 
-  /** Streaming scan of the events table (nanos timestamps read as longs
-    * and truncated to µs exactly like [[graft.engine.Tables.events]]).
+  /** Streaming scan of the events table (ts adapted per physical type —
+    * nanos-as-longs truncated to µs, native µs timestamps passed through —
+    * exactly like [[graft.engine.Tables.events]]).
     * The file stream source wants a DIRECTORY to watch; the table is
     * staged (copied once per JVM) into one — in a real deployment the
     * landing directory plays this role and new files are picked up per
@@ -54,8 +55,15 @@ object Streaming {
       }
     } + "/events"
     val schema = spark.read.parquet(dir).schema
-    spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.readStream.schema(schema).parquet(dir)
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** Watermarked hourly tumbling-window aggregation — the streaming twin
