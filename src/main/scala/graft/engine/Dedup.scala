@@ -268,27 +268,26 @@ object Dedup {
     val candIds = cand.select(col("a").as("doc_id"))
       .union(cand.select(col("b").as("doc_id")))
       .distinct()
-    // sorted sets + linear-merge intersect (SetKernels) for the same
-    // reason as [[ngramJaccardNearDup]]'s verify; the LENGTH filter
-    // (|A∩B|/|A∪B| ≥ τ ⇒ min(na,nb) ≥ τ·max(na,nb)) prunes pairs on two
-    // already-joined ints before any set is touched — LSH collisions
-    // between very differently-sized docs never pay the merge. The
-    // 1e-9 epsilon errs toward verifying MORE pairs, never fewer
-    // (τ·n in doubles can land an ulp above the exact boundary).
+    // the LENGTH filter (|A∩B|/|A∪B| ≥ τ ⇒ min(na,nb) ≥ τ·max(na,nb))
+    // prunes pairs on two already-joined ints before any set is touched —
+    // LSH collisions between very differently-sized docs never pay the
+    // intersect. The 1e-9 epsilon errs toward verifying MORE pairs, never
+    // fewer (τ·n in doubles can land an ulp above the exact boundary).
+    // Deliberately NOT the sorted-long-merge verify o53 uses: LSH keeps
+    // the candidate count small enough that array_intersect is off the
+    // critical path, and A/B timing showed the per-doc array_sort +
+    // kernel bundle costing ~2× here (sf0.1 warm 7.0 s vs 3.7 s).
     val eps = 1e-9
     val ssets = spread(docs0).join(broadcast(candIds), Seq("doc_id"), "left_semi")
-      .select(col("doc_id"),
-        array_sort(TextOps.shingleSet(col("text"), w)).as("sset"))
+      .select(col("doc_id"), TextOps.shingleSet(col("text"), w).as("sset"))
       .withColumn("n", size(col("sset")))
-    val inter = graft.functions.SetKernelFunctions
-      .sortedIntersectSize(col("sa"), col("sb")).cast("double")
     val repPairs = cand
       .join(ssets.select(col("doc_id").as("a"), col("sset").as("sa"), col("n").as("na")), "a")
       .join(ssets.select(col("doc_id").as("b"), col("sset").as("sb"), col("n").as("nb")), "b")
       .filter(least(col("na"), col("nb")) >=
         lit(threshold) * greatest(col("na"), col("nb")) - lit(eps))
       .select(col("a"), col("b"), col("ga"), col("gb"),
-        (inter / (col("na") + col("nb") - inter).cast("double")).as("jaccard"))
+        TextOps.jaccard(col("sa"), col("sb")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
     expandGroups(repPairs, members, "jaccard")
       .unionByName(withinGroupPairs(members, multi)
