@@ -64,6 +64,61 @@ class DedupSpec extends AnyFunSuite {
         s"spurious ${(lsh.keySet -- exact.keySet).mkString(", ")}")
   }
 
+  test("ngramJaccardNearDup: positional-filter alpha boundary and length-filter boundary") {
+    // Pins the two FP-sensitive cutoffs the PPJoin-style pruning added:
+    //
+    // (a) positional: docs 0/1 share I=6 of na=nb=8 shingles ⇒ J=0.6
+    //     exactly, α = ⌈τ/(1+τ)·16⌉ = 6. Each doc's 2 unique shingles
+    //     have df=1 < the shared ones' df=2, so the canonical (df, sid)
+    //     order puts them at ranks 1-2 and the FIRST shared shingle at
+    //     rank 3 = na−α+1 — the last admissible rank (at τ=0.6 the
+    //     double 0.6/1.6·16 happens to land below 6, so this case pins
+    //     the tight-rank geometry; the observable FP hazard is the
+    //     τ=0.65 test below).
+    //
+    // (b) length: doc 3's shingle set (nb=6) is contained in doc 2's
+    //     (na=10) ⇒ J = 6/10 = 0.6 exactly at the τ·max boundary, where
+    //     0.6·10 = 6.000000000000001 in doubles — without the epsilon
+    //     the length filter drops the pair inside the join condition.
+    //     Its first shared rank in doc 2 is 5 = na−α+1 (4 unique
+    //     shingles rank first), so the positional bound is tight here
+    //     too.
+    val docs = Seq(
+      (0L, "x1 x2 c1 c2 c3 c4 c5 c6 c7"),
+      (1L, "y1 y2 c1 c2 c3 c4 c5 c6 c7"),
+      (2L, "d1 d2 d3 d4 d5 d6 d7 d8 d9 d10 d11"),
+      (3L, "d1 d2 d3 d4 d5 d6 d7")
+    ).toDF("doc_id", "text")
+    val out = Dedup.ngramJaccardNearDup(docs, threshold = 0.6, w = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out.get((0L, 1L)).exists(j => math.abs(j - 0.6) < 1e-12),
+      "pair at the exact positional alpha boundary must be found")
+    assert(out.get((2L, 3L)).exists(j => math.abs(j - 0.6) < 1e-12),
+      "contained pair at the exact length-filter boundary must be found")
+    assert(out.size == 2, s"no spurious pairs expected, got $out")
+  }
+
+  test("ngramJaccardNearDup: alpha FP-ulp hazard at tau=0.65 (mutation-sensitive)") {
+    // The one boundary where the α epsilon guard is OBSERVABLE on IEEE
+    // doubles: 0.65/1.65 · 33 = 13.000000000000002, an ulp ABOVE the
+    // exact α = 13. Without `− eps` inside the ceil, α becomes 14 and
+    // the positional bound tightens one rank past correctness.
+    // Construction: na=17 (4 unique df=1 shingles + 13 shared), nb=16
+    // (3 unique + the same 13 shared) ⇒ J = 13/(33−13) = 13/20 = 0.65
+    // exactly; the unique shingles outrank the shared ones (df 1 < 2),
+    // so the first shared shingle sits at rank 5 = na−α+1 in doc 0 and
+    // rank 4 = nb−α+1 in doc 1 — both exactly at the admissible bound.
+    // Removing the epsilon loses this pair (verified by mutation).
+    val docs = Seq(
+      (0L, "u1 u2 u3 u4 c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12 c13 c14"),
+      (1L, "v1 v2 v3 c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12 c13 c14")
+    ).toDF("doc_id", "text")
+    val out = Dedup.ngramJaccardNearDup(docs, threshold = 0.65, w = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out.get((0L, 1L)).exists(j => math.abs(j - 0.65) < 1e-12),
+      s"pair at the alpha FP-ulp boundary must be found, got $out")
+  }
+
   test("ngramJaccardNearDup: exact-tau boundary pair found; identical texts collapse") {
     // J(0,1) = |{bc,cd,de}| / |{ab,bc,cd,de,ef}| = 3/5 = 0.6 EXACTLY.
     // Doc 0 has n=5 shingles, so its prefix length is 5-ceil(0.6*5)+1:
