@@ -40,6 +40,15 @@ object DedupQueries {
     // hash pass must fan out when the corpus arrives as one split, but an
     // already-parallel scan (any real deployment) must not pay a full
     // shuffle for a map-only stage.
+    // near-dup CLUSTERS with a keep-one policy: connected components
+    // (min-label propagation + path halving, O(log n) rounds) over the
+    // o22 pair graph. Every doc appears; comp = min reachable doc_id;
+    // is_kept marks the canonical survivor a pipeline retains.
+    "o54_dedup_components" -> ((s, d) =>
+      Dedup.connectedComponents(
+        Dedup.minhashLshJaccard(documents(s, d), threshold = 0.8).select("a", "b"),
+        documents(s, d)).orderBy("doc_id")),
+
     "o27_doc_fingerprint" -> ((s, d) =>
       Spread(documents(s, d)).select(
         col("doc_id"),
@@ -75,6 +84,28 @@ object DedupQueries {
        |  FROM toks)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // exact pairs (the o22 oracle's body) → undirected edges → label of
+    // a node = min id over its transitive closure, via a recursive CTE
+    // (WITH RECURSIVE reach enumerates (node, reachable-id) pairs; UNION
+    // dedup terminates it); singleton docs label themselves.
+    "o54_dedup_components" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |ss AS (SELECT doc_id, list_distinct(s) AS s FROM sh),
+         |pairs AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM ss a JOIN ss b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.8),
+         |edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+         |reach(id, comp) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.comp FROM edges e JOIN reach r ON r.id = e.dst),
+         |lab AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+         |SELECT d.doc_id AS doc_id, COALESCE(l.comp, d.doc_id) AS comp,
+         |       d.doc_id = COALESCE(l.comp, d.doc_id) AS is_kept
+         |FROM documents d LEFT JOIN lab l ON l.id = d.doc_id
+         |ORDER BY doc_id""".stripMargin,
     "o53_ngram_prefix_jaccard" ->
       s"""WITH $shingles2Cte,
          |ss AS (SELECT doc_id, list_distinct(s) AS s FROM sh)

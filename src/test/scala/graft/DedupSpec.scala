@@ -170,6 +170,34 @@ class DedupSpec extends AnyFunSuite {
         s"spurious ${(got.keySet -- exact.keySet).mkString(", ")}")
   }
 
+  test("connectedComponents: chain graph converges to min label; singletons kept") {
+    // a 5-node CHAIN (diameter 4) — plain one-hop propagation would
+    // need 4 rounds; with path halving the fixpoint arrives faster and,
+    // more importantly, the convergence check (not an iteration count)
+    // decides when to stop. Doc 6 has no pairs and must survive as its
+    // own component.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val out = Dedup.connectedComponents(pairs, docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert((1L to 5L).forall(i => out(i)._1 == 1L), s"chain collapses to 1: $out")
+    assert(out(6L) == (6L, true), "singleton keeps itself")
+    assert(out(1L)._2 && !(2L to 5L).exists(i => out(i)._2),
+      "exactly the component min is kept")
+  }
+
+  test("connectedComponents: two separate cliques stay separate; empty pairs all kept") {
+    val pairs = Seq((10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("a", "b")
+    val docs = Seq(10L, 11L, 12L, 20L, 21L, 30L).toDF("doc_id")
+    val out = Dedup.connectedComponents(pairs, docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L))
+    val none = Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("a", "b"), docs).collect()
+    assert(none.forall(_.getBoolean(2)), "no pairs -> every doc kept")
+  }
+
   test("exactDedup groups by content hash and keeps the min id") {
     val groups = Dedup.exactDedup(corpus).collect()
       .map(r => r.getLong(1) -> r.getLong(2)).toMap // keep_id -> size
