@@ -89,6 +89,53 @@ object TextQueries {
         .orderBy(col("doc_id"), col("tfidf").desc, col("term"))
     }),
 
+    // training-data curation: DETERMINISTIC stratified sampling by
+    // hash threshold — doc kept iff its portable 32-bit hash bucket
+    // falls under the stratum's rate (10% of 'en', 50% of everything
+    // else). Hash-threshold beats rand()-based sampling at scale on
+    // every axis that matters for a corpus pipeline: reproducible
+    // across runs/engines (the oracle recomputes the same md5 bucket),
+    // stable under re-partitioning, no RNG state per task, and a doc's
+    // membership never flips when the corpus around it changes.
+    "o55_stratified_sample" -> ((s, d) => {
+      val bucket = pmod(TextOps.hash32(col("doc_id").cast("string")), lit(100L))
+      Spread(documents(s, d))
+        .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+        .filter(col("bucket") <
+          when(col("lang") === "en", 10L).otherwise(50L))
+        .orderBy("doc_id")
+    }),
+
+    // training-data curation: per-language QUALITY QUOTA — the exact
+    // top-k docs per language by token count (the o25 scoring family),
+    // computed SKEW-PROOF: a naive row_number over partitionBy(lang)
+    // sends an entire language to one reducer (a 100 TB corpus has ~30
+    // languages — each partition would be corpus-scale). Instead a
+    // salted two-stage top-k: rank within (lang, salt-of-16) and keep
+    // ≤ k per salt — each global top-k row is necessarily in its salt
+    // bucket's top-k, so stage 1 loses nothing and bounds stage 2's
+    // input to 16·k rows per language, which one reducer ranks exactly.
+    "o56_quality_quota" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 50
+      val salts = 16
+      val scored = Spread(documents(s, d))
+        .select(col("doc_id"), col("lang"), size(toks).as("n_tokens"))
+        .withColumn("salt", pmod(hash(col("doc_id")), lit(salts)))
+      val stage1 = scored
+        .withColumn("srk", row_number().over(
+          Window.partitionBy(col("lang"), col("salt"))
+            .orderBy(col("n_tokens").desc, col("doc_id"))))
+        .filter(col("srk") <= k)
+      stage1
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang"))
+            .orderBy(col("n_tokens").desc, col("doc_id"))))
+        .filter(col("rk") <= k)
+        .select(col("lang"), col("doc_id"), col("n_tokens"), col("rk"))
+        .orderBy("lang", "rk")
+    }),
+
     // n-gram/stopword language-ID heuristic vs the labeled lang column
     "o28_lang_id" -> ((s, d) => {
       val enRatio = size(filter(toks, t => t.isin(stopwords: _*))).cast("double") /
@@ -107,6 +154,26 @@ object TextQueries {
       |  FROM documents)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "o55_stratified_sample" ->
+      """SELECT doc_id, lang,
+        |       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 25, 8)) AS BIGINT) % 100 AS bucket
+        |FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 25, 8)) AS BIGINT) % 100
+        |      < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+        |ORDER BY doc_id""".stripMargin,
+
+    // the oracle ranks each language in one pass — the salted two-stage
+    // Spark plan must produce the identical exact top-k
+    "o56_quality_quota" ->
+      s"""WITH $toksCte,
+         |ranked AS (
+         |  SELECT lang, doc_id, CAST(len(t) AS INTEGER) AS n_tokens,
+         |         CAST(row_number() OVER (PARTITION BY lang
+         |           ORDER BY len(t) DESC, doc_id) AS INTEGER) AS rk
+         |  FROM toks)
+         |SELECT lang, doc_id, n_tokens, rk FROM ranked
+         |WHERE rk <= 50 ORDER BY lang, rk""".stripMargin,
+
     "o24_text_stats" ->
       s"""WITH $toksCte
          |SELECT source, COUNT(*) AS n_docs,
