@@ -34,7 +34,11 @@ object GraftFunctions {
     "doc_fingerprint" -> ((args: Seq[Expression]) => BottomKFingerprintExpr(args.head,
       if (args.length > 1) intArg(args(1), "k") else 8,
       if (args.length > 2) intArg(args(2), "shingleWidth") else 3)),
-    "dot_product" -> ((args: Seq[Expression]) => DotProductExpr(args(0), args(1))))
+    "dot_product" -> ((args: Seq[Expression]) => DotProductExpr(args(0), args(1))),
+    "sorted_intersect_size" ->
+      ((args: Seq[Expression]) => SortedIntersectSizeExpr(args(0), args(1))),
+    "sorted_intersect_size_long" ->
+      ((args: Seq[Expression]) => SortedLongIntersectSizeExpr(args(0), args(1))))
 
   def register(spark: SparkSession): Unit =
     injections.foreach { case (name, builder) =>

@@ -14,12 +14,16 @@ class GraftFunctionsSpec extends AnyFunSuite {
       s"""SELECT simhash64('$text') AS s,
          |       simhash_portable64('$text') AS p,
          |       minhash('$text', 8, 3) AS m,
-         |       dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d
+         |       dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+         |       sorted_intersect_size(array('a','b','d'), array('b','c','d')) AS si,
+         |       sorted_intersect_size_long(array(1L, 5L, 9L), array(5L, 9L, 40L)) AS sl
          |""".stripMargin).collect()(0)
     assert(row.getAs[Long]("s") == TextHash.simhash64(UTF8String.fromString(text)))
     assert(row.getAs[Long]("p") == PortableHash.simhash64(UTF8String.fromString(text)))
     assert(row.getSeq[Long](2).length == 8)
     assert(row.getAs[Double]("d") == 11.0)
+    assert(row.getAs[Long]("si") == 2L)
+    assert(row.getAs[Long]("sl") == 2L)
   }
 
   test("GraftSparkExtensions injects every kernel into a fresh extensions set") {
@@ -30,7 +34,8 @@ class GraftFunctionsSpec extends AnyFunSuite {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.functions.GraftSparkExtensions().apply(ext) // must not throw
     assert(GraftFunctions.injections.map(_._1).sorted == Seq(
-      "doc_fingerprint", "dot_product", "minhash", "simhash64", "simhash_portable64"))
+      "doc_fingerprint", "dot_product", "minhash", "simhash64",
+      "simhash_portable64", "sorted_intersect_size", "sorted_intersect_size_long"))
     // each builder constructs a well-typed expression from dummy args
     import org.apache.spark.sql.catalyst.expressions.Literal
     val textArg = Literal(UTF8String.fromString("abc"),
@@ -38,8 +43,16 @@ class GraftFunctionsSpec extends AnyFunSuite {
     val arrArg = Literal.create(Array(1.0, 2.0),
       org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
     GraftFunctions.injections.foreach { case (name, builder) =>
-      val e = if (name == "dot_product") builder(Seq(arrArg, arrArg))
-              else builder(Seq(textArg))
+      val strArrArg = Literal.create(Array("a", "b"),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))
+      val longArrArg = Literal.create(Array(1L, 2L),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))
+      val e = name match {
+        case "dot_product"                => builder(Seq(arrArg, arrArg))
+        case "sorted_intersect_size"      => builder(Seq(strArrArg, strArrArg))
+        case "sorted_intersect_size_long" => builder(Seq(longArrArg, longArrArg))
+        case _                            => builder(Seq(textArg))
+      }
       assert(e.resolved, s"$name builder must yield a resolved expression")
     }
   }
