@@ -186,6 +186,19 @@ class DedupSpec extends AnyFunSuite {
       "exactly the component min is kept")
   }
 
+  test("connectedComponents: 200-node chain converges inside the round cap") {
+    // a path graph is the worst topology for one-hop min-label
+    // propagation: 199 rounds to reach the far end, far over the
+    // 30-round cap — so mere convergence here (no IllegalStateException)
+    // PROVES the path-halving rule is doing its geometric compression,
+    // and the labels prove it converged to the true component min.
+    val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
+    val docs = (0L until 200L).toDF("doc_id")
+    val out = Dedup.connectedComponents(pairs, docs).collect()
+    assert(out.length == 200 && out.forall(_.getLong(1) == 0L),
+      "every chain node must label to 0")
+  }
+
   test("connectedComponents: two separate cliques stay separate; empty pairs all kept") {
     val pairs = Seq((10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("a", "b")
     val docs = Seq(10L, 11L, 12L, 20L, 21L, 30L).toDF("doc_id")
