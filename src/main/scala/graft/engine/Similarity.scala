@@ -89,6 +89,83 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Deterministic ±1 hyperplane row, shared bit-for-bit with the DuckDB
+    * oracle: entry (p, j) is +1 iff the last-8-hex-char bucket of
+    * md5("p_j") is even — the same portable-md5 convention every other
+    * cross-engine hash in this repo uses ([[TextOps.hash32]]).
+    */
+  private def srpPlane(p: Int, dims: Int): Seq[Double] =
+    (0 until dims).map { j =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"${p}_${j}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex.substring(24, 32), 16) % 2 == 0) 1.0 else -1.0
+    }
+
+  /** Signed-random-projection (SRP / SimHash-for-vectors) near-dup over
+    * the embedding column: `planes` deterministic ±1 hyperplanes give
+    * each vector a `planes`-bit angular signature (bit p = sign of the
+    * projection on plane p; E[hamming] = planes·θ/π), banded LSH
+    * generates candidates, and pairs at signature hamming ≤ t are
+    * emitted. Completeness is o21's pigeonhole argument verbatim: with
+    * t < bands a qualifying pair dirties at most t bands and must share
+    * one clean band, so the banded join misses nothing — the output is
+    * EXACTLY "all pairs at hamming ≤ t", which is what the oracle
+    * recomputes as an all-pairs filter.
+    *
+    * Cross-engine exactness is engineered, not hoped for: projections
+    * are computed on QUANTIZED vectors (`round(x·1000)` — integer-valued
+    * doubles), so every projection is an exact integer sum whose sign
+    * cannot be flipped by summation order or a last-ulp libm
+    * difference on either engine.
+    *
+    * Scale posture, stated honestly: band width is the pruning dial,
+    * and it is bounded by planes/bands with bands > t. This corpus's
+    * CLOSEST embedding pairs sit at ~34° (hamming 12/64), so the
+    * registry contract must use t=15 with 16×4-bit bands — a 4-bit
+    * band passes 1/16 of random pairs, weak pruning, inherent to
+    * asking for pairs at a wide angular radius. A production near-dup
+    * radius (θ ≤ 15°, t ≤ 7/64) uses 8×8-bit bands and passes ~3% of
+    * random pairs per band set; tighter still with more planes. The
+    * cluster-scoped exact join ([[clusteredNearDup]]) remains the
+    * wide-radius scale path; SRP is the signature-space alternative
+    * whose scan/shuffle payload is 8 bytes per doc instead of the
+    * vector.
+    */
+  def srpNearDup(emb: DataFrame, planes: Int = 64, bands: Int = 16,
+                 t: Int = 15, quantScale: Int = 1000): DataFrame = {
+    require(planes % bands == 0, "planes must divide into bands")
+    require(t < bands, s"pigeonhole completeness needs t < bands, got t=$t bands=$bands")
+    require(planes <= 64, "signature is packed into one long")
+    val bandBits = planes / bands
+    val dims = emb.select(size(col("embedding"))).head.getInt(0)
+    val qv = transform(VectorOps.asDouble(col("embedding")),
+      x => round(x * quantScale))
+    val sigBits = (0 until planes).map { p =>
+      when(graft.functions.VectorKernelFunctions
+        .dot(col("qv"), typedlit(srpPlane(p, dims))) > 0, lit(1L << p))
+        .otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    val sigs = Spread(emb).withColumn("qv", qv)
+      .select(col("vec_id"), sigBits.as("sig"))
+      .repartition(col("vec_id"))
+    val banded = sigs
+      .withColumn("b", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("bv",
+        expr(s"shiftright(sig, b * $bandBits) & ${(1L << bandBits) - 1}"))
+    val A = banded.select(col("vec_id").as("a"), col("sig").as("sa"),
+      col("b"), col("bv"))
+    val B = banded.select(col("vec_id").as("b2"), col("sig").as("sb"),
+      col("b"), col("bv"))
+    A.join(B, Seq("b", "bv"))
+      .filter(col("a") < col("b2"))
+      .select(col("a"), col("b2").as("b"), col("sa"), col("sb"))
+      .distinct()
+      .select(col("a"), col("b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= t)
+  }
+
   /** Per-label centroids of the embedding column, computed by position
     * explode + grouped average (distributed; no vectors on the driver).
     */

@@ -48,6 +48,15 @@ object SimilarityQueries {
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("a", "b")),
 
+    // SRP/SimHash-for-vectors near-dup: deterministic ±1 hyperplane
+    // signatures over QUANTIZED embeddings (integer-exact projections on
+    // both engines), banded LSH candidates, pairs at signature hamming
+    // ≤ 15 of 64 — pigeonhole-complete, so the output equals the
+    // oracle's all-pairs hamming filter. See Similarity.srpNearDup's
+    // scale note for the band-width/radius tradeoff.
+    "o57_srp_lsh_neardup" -> ((s, d) =>
+      Similarity.srpNearDup(embeddings(s, d)).orderBy("a", "b")),
+
     // multimodal: binary media column + typed metadata → partition-local
     // stub decode → per-source feature aggregate. Hash-checked: the stub
     // decode is deterministic byte-histogram moments, which the oracle
@@ -74,6 +83,31 @@ object SimilarityQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    // all-pairs hamming over the same deterministic SRP signatures the
+    // Spark side computes (64 planes fixed to the testdata's 64 dims;
+    // integer-exact quantized projections, UBIGINT bit packing)
+    "o57_srp_lsh_neardup" ->
+      """WITH q AS (
+        |  SELECT vec_id, [round(CAST(x AS DOUBLE) * 1000) FOR x IN embedding] AS qv
+        |  FROM embeddings),
+        |pl AS (
+        |  SELECT p.range AS p, j.range AS j,
+        |         CASE WHEN CAST(('0x' || substr(md5(p.range || '_' || j.range), 25, 8)) AS BIGINT) % 2 = 0
+        |              THEN 1.0 ELSE -1.0 END AS s
+        |  FROM range(64) p, range(64) j),
+        |proj AS (
+        |  SELECT q.vec_id, pl.p, SUM(pl.s * q.qv[pl.j + 1]) AS dp
+        |  FROM q CROSS JOIN pl GROUP BY 1, 2),
+        |sig AS (
+        |  SELECT vec_id,
+        |         bit_or(CASE WHEN dp > 0 THEN (1::UBIGINT << CAST(p AS INTEGER))
+        |                     ELSE 0::UBIGINT END) AS sig
+        |  FROM proj GROUP BY vec_id)
+        |SELECT a.vec_id AS a, b.vec_id AS b,
+        |       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+        |FROM sig a JOIN sig b ON a.vec_id < b.vec_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 15
+        |ORDER BY a, b""".stripMargin,
     "o42_clustered_neardup" ->
       """WITH e AS (
         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v

