@@ -136,6 +136,40 @@ object TextQueries {
         .orderBy("lang", "rk")
     }),
 
+    // training-data curation: pack docs (in doc_id order) into
+    // fixed-token-budget training shards — shard k holds the docs whose
+    // running token total lands in [k·budget, (k+1)·budget). The naive
+    // plan is `sum(n) OVER (ORDER BY doc_id)` — a GLOBAL window that
+    // moves the whole corpus to one reducer (the same plan the round-4
+    // audit evicted from o35). Here it is a DISTRIBUTED prefix sum over
+    // the dense doc_id space: per-chunk sums (groupBy doc_id div C) →
+    // window cumsum over the tiny chunk frame → broadcast the offsets
+    // back → within-chunk window cumsum. Every stage is bounded: the
+    // only single-partition window runs over corpus/C chunk rows.
+    "o58_token_shard_packing" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 2000L
+      val chunkSize = 1000L
+      val toked = Spread(documents(s, d))
+        .select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+        .withColumn("chunk", floor(col("doc_id") / chunkSize))
+      val offsets = toked.groupBy(col("chunk"))
+        .agg(sum(col("n_tokens")).as("chunk_tokens"))
+        .withColumn("offset",
+          coalesce(sum(col("chunk_tokens")).over(
+            Window.orderBy(col("chunk"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("chunk"), col("offset"))
+      toked.join(broadcast(offsets), "chunk")
+        .withColumn("cum_before",
+          col("offset") + coalesce(sum(col("n_tokens")).over(
+            Window.partitionBy(col("chunk")).orderBy(col("doc_id"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("doc_id"), col("n_tokens"),
+          floor(col("cum_before") / budget).cast("long").as("shard"))
+        .orderBy("doc_id")
+    }),
+
     // n-gram/stopword language-ID heuristic vs the labeled lang column
     "o28_lang_id" -> ((s, d) => {
       val enRatio = size(filter(toks, t => t.isin(stopwords: _*))).cast("double") /
@@ -161,6 +195,15 @@ object TextQueries {
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 25, 8)) AS BIGINT) % 100
         |      < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
         |ORDER BY doc_id""".stripMargin,
+
+    // single-window running total — the oracle gets to use the plan the
+    // Spark side deliberately avoids; results must be identical
+    "o58_token_shard_packing" ->
+      s"""WITH $toksCte
+         |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         |       CAST(floor(COALESCE(SUM(len(t)) OVER (ORDER BY doc_id
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000) AS BIGINT) AS shard
+         |FROM toks ORDER BY doc_id""".stripMargin,
 
     // the oracle ranks each language in one pass — the salted two-stage
     // Spark plan must produce the identical exact top-k
