@@ -452,6 +452,63 @@ object Dedup {
         .filter(lit(1.0) >= threshold))
   }
 
+  /** Incremental dedup of a NEW ingest batch against an already-ingested
+    * HISTORY corpus, keyed on the winnowing content fingerprint
+    * ([[TextOps.fingerprint]], the o27 kernel) — the content-level
+    * generalization of the reference's file-level MD5 manifest skip
+    * (`scripts/bronze_incremental.py:125-133`): a batch doc is dropped
+    * iff some history doc carries the same fingerprint.
+    *
+    * The naive plan is a fingerprint anti-join — which re-shuffles the
+    * ENTIRE history corpus on every nightly batch, the single worst
+    * recurring cost a 100 TB ingest pipeline can sign up for. Here the
+    * anti-join is demoted to a residual verify behind a Bloom prefilter:
+    *
+    *  1. a Bloom filter over history fingerprints is built with one
+    *     map-side-combined aggregate pass (`stat.bloomFilter` runs a
+    *     treeAggregate of partial filters — history rows never shuffle)
+    *     and broadcast to the batch side;
+    *  2. Bloom-NEGATIVE batch docs — the overwhelming majority of a
+    *     fresh crawl — are definitely-new (a Bloom has no false
+    *     negatives) and flow straight to the output, shuffle-free;
+    *  3. only Bloom-POSITIVE docs (true dups + the fpp sliver) enter the
+    *     verify: their fingerprints broadcast-semi-prune history map-side
+    *     first, so the residual anti-join is candidate-sized on BOTH
+    *     sides no matter how large history grows.
+    *
+    * The output is EXACT — identical to the plain anti-join for every
+    * possible Bloom outcome — so the DuckDB oracle is a clean NOT
+    * EXISTS; fpp only moves work between paths 2 and 3. Production note:
+    * Bloom filters are mergeable, so a real pipeline persists the
+    * history filter in the ingest manifest (the analog of the
+    * reference's `tech.tech_processed_files`) and unions in each batch's
+    * partial filter instead of re-scanning history — step 1 here stands
+    * in for that lookup. The scalar `mightContainString` probe is a
+    * (deterministic) Scala UDF: Spark exposes no public Bloom
+    * expression, and the probe sits on the map-only prefilter path, not
+    * in any result-defining compute.
+    */
+  def incrementalFingerprintDedup(batch0: DataFrame, history0: DataFrame,
+                                  expectedHistoryItems: Long = 1L << 20,
+                                  fpp: Double = 0.01): DataFrame = {
+    def fp(df: DataFrame): DataFrame =
+      spread(df).select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fingerprint"))
+    val hist = fp(history0)
+    val batch = fp(batch0)
+    val bloom = hist.stat.bloomFilter("fingerprint", expectedHistoryItems, fpp)
+    val bloomB = batch0.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((f: String) => bloomB.value.mightContainString(f))
+    val freshByBloom = batch.filter(!mightContain(col("fingerprint")))
+    val maybeDup = batch.filter(mightContain(col("fingerprint")))
+    val prunedHist = hist.join(
+      broadcast(maybeDup.select("fingerprint").distinct()),
+      Seq("fingerprint"), "left_semi")
+    val verified = maybeDup.join(prunedHist, Seq("fingerprint"), "left_anti")
+    freshByBloom.select("doc_id", "fingerprint")
+      .unionByName(verified.select("doc_id", "fingerprint"))
+  }
+
   /** Connected components over a near-dup PAIR graph — the step that
     * turns pairwise dedup output into actionable CLUSTERS with a
     * keep-one policy: every doc gets `(doc_id, comp, is_kept)` where

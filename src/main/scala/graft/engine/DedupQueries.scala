@@ -52,11 +52,19 @@ object DedupQueries {
     "o27_doc_fingerprint" -> ((s, d) =>
       Spread(documents(s, d)).select(
         col("doc_id"),
-        array_join(
-          slice(array_sort(array_distinct(
-            transform(TextOps.shingles(TextOps.tokens(col("text"))), TextOps.hash32(_)))), 1, 4),
-          "-").as("fingerprint"))
-        .orderBy("doc_id"))
+        TextOps.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")),
+
+    // incremental ingest dedup: batch (doc_id ≡ 0 mod 4) vs history (the
+    // rest), fingerprint-keyed, Bloom-prefiltered so history never
+    // re-shuffles per batch; output = the kept batch docs
+    "o59_incremental_dedup" -> ((s, d) => {
+      val docs = documents(s, d)
+      Dedup.incrementalFingerprintDedup(
+        docs.filter(pmod(col("doc_id"), lit(4)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(4)) =!= 0))
+        .orderBy("doc_id")
+    })
   )
 
   // Shared oracle CTEs: tokenization and 3-shingling in DuckDB SQL with
@@ -149,6 +157,22 @@ object DedupQueries {
          |SELECT doc_id,
          |       array_to_string(list_slice(list_sort(list_distinct(
          |         [CAST(('0x' || substr(md5(x), 25, 8)) AS BIGINT) FOR x IN s])), 1, 4), '-') AS fingerprint
-         |FROM sh ORDER BY doc_id""".stripMargin
+         |FROM sh ORDER BY doc_id""".stripMargin,
+
+    // the oracle states the CONTRACT (NOT EXISTS over fingerprints); the
+    // Spark side must reproduce it exactly through the Bloom split
+    "o59_incremental_dedup" ->
+      s"""WITH $shinglesCte,
+         |fp AS (
+         |  SELECT doc_id,
+         |         array_to_string(list_slice(list_sort(list_distinct(
+         |           [CAST(('0x' || substr(md5(x), 25, 8)) AS BIGINT) FOR x IN s])), 1, 4), '-') AS fingerprint
+         |  FROM sh)
+         |SELECT d.doc_id, d.fingerprint
+         |FROM fp d
+         |WHERE d.doc_id % 4 = 0
+         |  AND NOT EXISTS (SELECT 1 FROM fp h
+         |                  WHERE h.doc_id % 4 <> 0 AND h.fingerprint = d.fingerprint)
+         |ORDER BY doc_id""".stripMargin
   )
 }

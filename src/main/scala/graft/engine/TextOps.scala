@@ -38,6 +38,17 @@ object TextOps {
   def hash32(c: Column): Column =
     conv(substring(md5(c), 25, 8), 16, 10).cast("long")
 
+  /** Winnowing-style content fingerprint: the bottom-4 portable hashes
+    * of a doc's distinct 3-shingles, dash-joined — the o27 kernel,
+    * shared with the o59 incremental dedup.
+    * Oracle: `array_to_string(list_slice(list_sort(list_distinct(
+    * [CAST('0x'||substr(md5(x),25,8) AS BIGINT) FOR x IN s])), 1, 4), '-')`.
+    */
+  def fingerprint(text: Column): Column =
+    array_join(
+      slice(array_sort(array_distinct(
+        transform(shingles(tokens(text)), hash32(_)))), 1, 4), "-")
+
   /** Exact Jaccard similarity of two pre-distinct string arrays, as the
     * double `|A∩B| / (|A|+|B|-|A∩B|)` — the operand order the oracle
     * uses, so the division is bit-identical.

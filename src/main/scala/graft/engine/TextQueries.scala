@@ -170,6 +170,60 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // training-data decontamination: flag training docs sharing any
+    // 5-token gram with the EVAL set (doc_id ≡ 0 mod 10 stands in for a
+    // held-out benchmark) — the standard n-gram-overlap decontamination
+    // pass. Scale shape: a benchmark is MBs against a 100 TB corpus, so
+    // the eval gram set is a BROADCAST build side and the training side
+    // stays shuffle-free through the probe; per-doc distinct grams are
+    // map-side (array_distinct before explode), so n_hits = joined row
+    // count with no countDistinct shuffle. The left join back restores
+    // clean docs with n_hits = 0 — the output is the full audit ledger,
+    // not just the hits.
+    "o60_decontaminate" -> ((s, d) => {
+      val docs = Spread(documents(s, d))
+      def grams(df: DataFrame) = df.select(col("doc_id"),
+        explode(array_distinct(TextOps.shingles(toks, 5))).as("g"))
+      val evalGrams = broadcast(
+        grams(docs.filter(pmod(col("doc_id"), lit(10)) === 0))
+          .select("g").distinct())
+      val train = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      val hits = grams(train).join(evalGrams, "g")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      train.select("doc_id").join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+        .orderBy("doc_id")
+    }),
+
+    // training-data quality: Gopher-style repetition metrics per doc —
+    // top-token share (explode → two-level agg: partial map-side combine
+    // on (doc_id, tok) keeps the shuffle narrow and skew-proof; an
+    // all-distinct-tokens array scan would be O(n²) per doc and die on
+    // long docs) and duplicate-2-gram fraction (pure map-side array
+    // arithmetic, no shuffle at all). The flag thresholds compare the
+    // ROUNDED metrics so the oracle's boundary decisions are identical.
+    "o61_repetition_metrics" -> ((s, d) => {
+      val docs = Spread(documents(s, d))
+      val sh2 = TextOps.shingles(toks, 2)
+      val base = docs.select(col("doc_id"),
+        size(toks).as("n_tokens"),
+        round(lit(1.0) - size(array_distinct(sh2)).cast("double") /
+          size(sh2).cast("double"), 4).as("dup_2gram_frac"))
+      val topTok = docs.select(col("doc_id"), explode(toks).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max(col("c")).as("max_tok"))
+      base.join(topTok, "doc_id")
+        .withColumn("top_token_share",
+          round(col("max_tok").cast("double") / col("n_tokens").cast("double"), 4))
+        .select(col("doc_id"), col("n_tokens"), col("top_token_share"),
+          col("dup_2gram_frac"),
+          (col("top_token_share") >= 0.2 || col("dup_2gram_frac") >= 0.05)
+            .as("repetitive"))
+        .orderBy("doc_id")
+    }),
+
     // n-gram/stopword language-ID heuristic vs the labeled lang column
     "o28_lang_id" -> ((s, d) => {
       val enRatio = size(filter(toks, t => t.isin(stopwords: _*))).cast("double") /
@@ -244,6 +298,49 @@ object TextQueries {
          |SELECT term, COUNT(*) AS cnt
          |FROM (SELECT unnest(t) AS term FROM toks)
          |GROUP BY term ORDER BY cnt DESC, term LIMIT 20""".stripMargin,
+
+    "o60_decontaminate" ->
+      s"""WITH $toksCte,
+         |sh5 AS (
+         |  SELECT doc_id, CASE WHEN len(t) <= 5 THEN [array_to_string(t, ' ')]
+         |         ELSE [array_to_string(list_slice(t, i, i+4), ' ') FOR i IN range(1, len(t)-3)]
+         |         END AS s
+         |  FROM toks),
+         |ev AS (SELECT DISTINCT unnest(list_distinct(s)) AS g FROM sh5 WHERE doc_id % 10 = 0),
+         |tr AS (SELECT doc_id, unnest(list_distinct(s)) AS g FROM sh5 WHERE doc_id % 10 <> 0),
+         |hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+         |         FROM tr JOIN ev USING (g) GROUP BY doc_id)
+         |SELECT t.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+         |       COALESCE(h.n_hits, 0) > 0 AS contaminated
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) t
+         |LEFT JOIN hits h USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "o61_repetition_metrics" ->
+      s"""WITH $toksCte,
+         |m AS (
+         |  SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens,
+         |         CASE WHEN len(t) <= 2 THEN [array_to_string(t, ' ')]
+         |         ELSE [array_to_string(list_slice(t, i, i+1), ' ') FOR i IN range(1, len(t))]
+         |         END AS s
+         |  FROM toks),
+         |base AS (
+         |  SELECT doc_id, n_tokens,
+         |         ROUND(1.0 - CAST(len(list_distinct(s)) AS DOUBLE) /
+         |                     CAST(len(s) AS DOUBLE), 4) AS dup_2gram_frac
+         |  FROM m),
+         |tc AS (SELECT doc_id, tok, COUNT(*) AS c
+         |       FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY 1, 2),
+         |mt AS (SELECT doc_id, MAX(c) AS max_tok FROM tc GROUP BY 1),
+         |j AS (
+         |  SELECT b.doc_id, b.n_tokens,
+         |         ROUND(CAST(mt.max_tok AS DOUBLE) / CAST(b.n_tokens AS DOUBLE), 4)
+         |           AS top_token_share,
+         |         b.dup_2gram_frac
+         |  FROM base b JOIN mt USING (doc_id))
+         |SELECT doc_id, n_tokens, top_token_share, dup_2gram_frac,
+         |       (top_token_share >= 0.2 OR dup_2gram_frac >= 0.05) AS repetitive
+         |FROM j ORDER BY doc_id""".stripMargin,
 
     "o28_lang_id" ->
       s"""WITH $toksCte

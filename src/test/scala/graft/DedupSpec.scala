@@ -170,6 +170,50 @@ class DedupSpec extends AnyFunSuite {
         s"spurious ${(got.keySet -- exact.keySet).mkString(", ")}")
   }
 
+  test("incrementalFingerprintDedup drops fingerprint-dups, keeps new docs") {
+    val history = Seq(
+      (1L, base),
+      (3L, "entirely different text about cooking pasta with tomatoes basil and olive oil in a large pot")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (4L, base), // same text ⇒ same fingerprint ⇒ dropped
+      (8L, "brand new document on sailing knots rigging and tide tables for coastal navigation")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalFingerprintDedup(batch, history)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(8L), s"dup must drop, new doc must survive: $kept")
+  }
+
+  test("incrementalFingerprintDedup is exact for ANY Bloom outcome (vs plain anti-join)") {
+    // The Bloom filter only routes rows between the shuffle-free path
+    // and the verify path — the output contract is the plain
+    // fingerprint anti-join. Run the operator twice: default sizing
+    // (mostly-negative Bloom) and a deliberately SATURATED Bloom
+    // (expectedItems=1, fpp≈0.5 ⇒ everything tests positive and the
+    // whole batch goes through the verify). Both must equal the
+    // reference anti-join row-for-row.
+    import org.apache.spark.sql.functions._
+    import graft.engine.TextOps
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val batch = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+    val history = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fingerprint"))
+    val expected = fp(batch)
+      .join(fp(history), Seq("fingerprint"), "left_anti")
+      .collect().map(r => r.getLong(1) -> r.getString(0)).toMap
+    for ((items, p) <- Seq((1L << 20, 0.01), (1L, 0.5))) {
+      val got = Dedup.incrementalFingerprintDedup(batch, history, items, p)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == expected, s"items=$items fpp=$p: " +
+        s"missed ${(expected.keySet -- got.keySet).mkString(",")}; " +
+        s"spurious ${(got.keySet -- expected.keySet).mkString(",")}")
+    }
+    assert(expected.size < batch.count(),
+      "split must actually drop at least one batch doc or the test is vacuous")
+  }
+
   test("connectedComponents: chain graph converges to min label; singletons kept") {
     // a 5-node CHAIN (diameter 4) — plain one-hop propagation would
     // need 4 rounds; with path halving the fixpoint arrives faster and,
