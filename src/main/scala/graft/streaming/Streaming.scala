@@ -252,7 +252,12 @@ object Streaming {
     q.awaitTermination()
   }
 
-  final case class Event(user_id: Long, ts: java.sql.Timestamp)
+  /** ts is an Instant (µs-exact through the TimestampType encoder) —
+    * `java.sql.Timestamp.getTime` would silently floor event times to
+    * the millisecond, shifting session bounds and boundary gap
+    * decisions on µs-grain data (the driver's events table is µs-grain).
+    */
+  final case class Event(user_id: Long, ts: java.time.Instant)
   final case class SessionState(start: Long, lastUs: Long, n: Int)
   final case class ClosedSession(user_id: Long, start_us: Long, end_us: Long, n_events: Int)
 
@@ -295,7 +300,8 @@ object Streaming {
             state.remove()
             out
           } else {
-            val sortedUs = it.map(e => e.ts.getTime * 1000L).toArray.sorted
+            val sortedUs = it.map(e =>
+              e.ts.getEpochSecond * 1000000L + e.ts.getNano / 1000L).toArray.sorted
             var open = state.getOption
             var closed = List.empty[ClosedSession]
             sortedUs.foreach { us =>

@@ -87,6 +87,44 @@ object StreamingQueries {
         .orderBy("user_id")
     }),
 
+    // custom session state on the driver gate: per-user 30-min-gap
+    // sessionization via flatMapGroupsWithState ([[Streaming.sessionize]]),
+    // drained deterministically by staging ONE sentinel event per user 2h
+    // past the corpus max — the sentinel's arrival closes each user's
+    // last real session inside the automaton (gap 2h > 30min), and the
+    // sentinel's own session never times out (its timeout sits past the
+    // final watermark), so exactly the real sessions emit. Everything is
+    // read in one AvailableNow micro-batch (no trigger size limit), so
+    // the per-batch sort in sessionize sees a fully ordered stream and
+    // the drained output is deterministic — which lets the batch
+    // gaps-and-islands oracle pin session COUNTS, EVENT totals and the
+    // longest-session duration per user, µs-exact.
+    "s05_streaming_sessions" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val root = graft.engine.Workdirs
+        .materializeOnce("graft-streaming-sessions", d) { root =>
+          val ev = graft.engine.Tables.events(s, d).select(col("user_id"), col("ts"))
+          val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0).toInstant
+          val sentinels = ev.select(col("user_id")).distinct()
+            .withColumn("ts", lit(maxTs.plusSeconds(2 * 3600L)))
+          ev.unionByName(sentinels).write.parquet(s"$root/sessions_src")
+        }
+      val dir = s"$root/sessions_src"
+      val schema = s.read.parquet(dir).schema
+      val stream = s.readStream.schema(schema).parquet(dir)
+        .select(col("user_id"), col("ts")).as[Streaming.Event]
+      val sink = s"graft_s05_sink_${counter.incrementAndGet()}"
+      Streaming.runAvailableNow(
+        Streaming.sessionize(stream, gapMinutes = 30).toDF(), sink,
+        org.apache.spark.sql.streaming.OutputMode.Append())
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).cast("long").as("n_events"),
+          max(col("end_us") - col("start_us")).as("max_session_us"))
+        .orderBy("user_id")
+    }),
+
     // streaming file-source ingest of the landing zone (the incremental
     // pipeline's streaming twin): explode → readStream over the period
     // files (2 files per micro-batch) → foreachBatch anti-join append →
@@ -124,6 +162,28 @@ object StreamingQueries {
 
     "s03_streaming_ingest" ->
       """SELECT * FROM orders ORDER BY o_orderkey""",
+
+    // batch gaps-and-islands twin of the streaming automaton: a session
+    // breaks when the µs gap EXCEEDS 30 min (ties merge — the automaton's
+    // `us - lastUs <= gapUs` branch); sentinels are an implementation
+    // detail of the drain and do not appear in the oracle's input
+    "s05_streaming_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+        |  FROM events),
+        |i AS (
+        |  SELECT user_id, us,
+        |         SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, sess, MIN(us) AS s, MAX(us) AS e, COUNT(*) AS n
+        |  FROM i GROUP BY 1, 2)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |       CAST(SUM(n) AS BIGINT) AS n_events,
+        |       CAST(MAX(e - s) AS BIGINT) AS max_session_us
+        |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "s04_stream_stream_join" ->
       """SELECT a.user_id, COUNT(*) AS n_pairs

@@ -164,7 +164,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("flatMapGroupsWithState sessionization closes sessions on event-time gaps") {
     def ev(u: Long, minute: Int) =
-      Event(u, new Timestamp(3600_000L * 24 + minute * 60_000L))
+      Event(u, java.time.Instant.ofEpochMilli(3600_000L * 24 + minute * 60_000L))
     // user 1: two sessions (gap 45 min > 30); user 2: one session.
     // A far-future sentinel per user advances the watermark so every real
     // session times out and flushes (finite-stream drain).
