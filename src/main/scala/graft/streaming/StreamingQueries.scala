@@ -104,6 +104,9 @@ object StreamingQueries {
       import s.implicits._
       val root = graft.engine.Workdirs
         .materializeOnce("graft-streaming-sessions", d) { root =>
+          // memoization is per-JVM; a previous JVM's staging dir may
+          // still be on disk (the s03 pattern: the block owns cleanup)
+          graft.engine.Workdirs.delete(s, root)
           val ev = graft.engine.Tables.events(s, d).select(col("user_id"), col("ts"))
           val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0).toInstant
           val sentinels = ev.select(col("user_id")).distinct()
