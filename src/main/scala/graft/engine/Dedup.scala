@@ -495,7 +495,16 @@ object Dedup {
       spread(df).select(col("doc_id"),
         TextOps.fingerprint(col("text")).as("fingerprint"))
     val hist = fp(history0)
-    val batch = fp(batch0)
+    // the batch fingerprints have THREE consumers (Bloom-negative
+    // filter, Bloom-positive filter, candidate-fingerprint distinct) —
+    // pin them behind a narrow (id, fingerprint) repartition Exchange so
+    // the batch text is read and shingled ONCE and every consumer
+    // re-reads the exchange (the projected() pattern). History gets no
+    // such pin on purpose: pinning means shuffling, and the whole point
+    // is that history rows never enter an exchange — its two map-only
+    // passes (Bloom build, semi-prune) stand in for a persisted
+    // fingerprint manifest.
+    val batch = fp(batch0).repartition(col("doc_id"))
     val bloom = hist.stat.bloomFilter("fingerprint", expectedHistoryItems, fpp)
     val bloomB = batch0.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((f: String) => bloomB.value.mightContainString(f))
