@@ -224,6 +224,85 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // training-data dedup audit: cross-doc duplicated n-gram ledger (the
+    // exact-substring-dedup flavor of Lee et al.'s "Deduplicating
+    // Training Data", completing the o60/o61 trio) — per doc, how many
+    // of its 4-gram POSITIONS carry a gram that appears in ≥ 2 distinct
+    // docs corpus-wide. One shingling pass pinned behind a narrow
+    // Exchange (three consumers: position stream, per-doc distinct gram
+    // stream, per-doc gram counts); the duplicated-gram set comes from a
+    // TWO-LEVEL distinct count (array_distinct map-side, then a plain
+    // count — the (doc, gram) stream shuffles once, never countDistinct)
+    // and prunes the position stream by semi-join. The left join back
+    // restores clean docs with zeros — an audit ledger, not just hits.
+    "o62_dup_ngram_stats" -> ((s, d) => {
+      val shingled = Spread(documents(s, d))
+        .select(col("doc_id"), TextOps.shingles(toks, 4).as("sh"))
+        .repartition(col("doc_id"))
+      val pos = shingled.select(col("doc_id"), explode(col("sh")).as("g"))
+      val docGrams = shingled.select(col("doc_id"),
+        explode(array_distinct(col("sh"))).as("g"))
+      val dup = docGrams.groupBy("g").agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2).select("g")
+      val hits = pos.join(dup, Seq("g"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+      shingled.select(col("doc_id"), size(col("sh")).cast("long").as("n_grams"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup_grams"),
+          round(coalesce(col("n_dup"), lit(0L)).cast("double") /
+            col("n_grams").cast("double"), 4).as("dup_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // corpus statistics: Zipf's-law fit of the term frequency
+    // distribution — ln(freq) regressed on ln(rank). The rank is the
+    // scale-sensitive part: a naive `row_number() OVER (ORDER BY freq
+    // DESC)` is a single-reducer sort of the whole vocabulary (the plan
+    // the round-4 audit evicted from o35). Here rank is DISTRIBUTED, the
+    // o58 prefix-sum pattern applied to tie classes: per-frequency class
+    // sizes → cumulative offsets over the tiny distinct-freq frame →
+    // broadcast back; within a tie class, ranks are assigned by a SALTED
+    // two-level row_number (16 hash salts — the hapax class is half the
+    // vocabulary and would otherwise be one reducer's sort). Which term
+    // of a tie class gets which rank is arbitrary BY CONSTRUCTION and
+    // harmless BY ALGEBRA: y = ln(freq) is constant within a class, so
+    // the regression's Σx, Σx², Σxy over the class are multiset
+    // invariants — the oracle's naive global window provably computes
+    // the same fit.
+    "o63_zipf_fit" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val salts = 16
+      val tf = Spread(documents(s, d))
+        .select(explode(toks).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("freq"))
+      val classes = tf.groupBy("freq").agg(count(lit(1)).as("nf"))
+        .withColumn("offset", coalesce(sum(col("nf")).over(
+          Window.orderBy(col("freq").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val saltSizes = tf
+        .withColumn("salt", pmod(hash(col("term")), lit(salts)))
+        .groupBy("freq", "salt").agg(count(lit(1)).as("ns"))
+        .withColumn("soffset", coalesce(sum(col("ns")).over(
+          Window.partitionBy(col("freq")).orderBy(col("salt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("freq"), col("salt"), col("soffset"))
+      val ranked = tf
+        .withColumn("salt", pmod(hash(col("term")), lit(salts)))
+        .withColumn("rw", row_number().over(
+          Window.partitionBy(col("freq"), col("salt")).orderBy(col("term"))))
+        .join(broadcast(classes.select("freq", "offset")), "freq")
+        .join(broadcast(saltSizes), Seq("freq", "salt"))
+        .select(col("freq"),
+          (col("offset") + col("soffset") + col("rw")).as("rank"))
+      ranked.agg(
+        count(lit(1)).as("n_terms"),
+        sum(col("freq")).cast("long").as("total_tokens"),
+        round(regr_slope(log(col("freq")), log(col("rank"))), 4).as("slope"),
+        round(regr_intercept(log(col("freq")), log(col("rank"))), 4).as("intercept"),
+        round(regr_r2(log(col("freq")), log(col("rank"))), 4).as("r2"))
+    }),
+
     // n-gram/stopword language-ID heuristic vs the labeled lang column
     "o28_lang_id" -> ((s, d) => {
       val enRatio = size(filter(toks, t => t.isin(stopwords: _*))).cast("double") /
@@ -341,6 +420,42 @@ object TextQueries {
          |SELECT doc_id, n_tokens, top_token_share, dup_2gram_frac,
          |       (top_token_share >= 0.2 OR dup_2gram_frac >= 0.05) AS repetitive
          |FROM j ORDER BY doc_id""".stripMargin,
+
+    "o62_dup_ngram_stats" ->
+      s"""WITH $toksCte,
+         |sh4 AS (
+         |  SELECT doc_id, CASE WHEN len(t) <= 4 THEN [array_to_string(t, ' ')]
+         |         ELSE [array_to_string(list_slice(t, i, i+3), ' ') FOR i IN range(1, len(t)-2)]
+         |         END AS s
+         |  FROM toks),
+         |pos AS (SELECT doc_id, unnest(s) AS g FROM sh4),
+         |dg AS (SELECT doc_id, unnest(list_distinct(s)) AS g FROM sh4),
+         |dup AS (SELECT g FROM dg GROUP BY g HAVING COUNT(*) >= 2),
+         |hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup
+         |         FROM pos JOIN dup USING (g) GROUP BY doc_id)
+         |SELECT s.doc_id, CAST(len(s.s) AS BIGINT) AS n_grams,
+         |       COALESCE(h.n_dup, 0) AS n_dup_grams,
+         |       ROUND(CAST(COALESCE(h.n_dup, 0) AS DOUBLE) /
+         |             CAST(len(s.s) AS DOUBLE), 4) AS dup_frac
+         |FROM sh4 s LEFT JOIN hits h USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // the oracle gets the naive single-window global rank the Spark side
+    // deliberately avoids; the fit is identical because the regression
+    // sums are invariant to rank assignment within a frequency tie class
+    "o63_zipf_fit" ->
+      s"""WITH $toksCte,
+         |tf AS (SELECT term, COUNT(*) AS freq
+         |       FROM (SELECT unnest(t) AS term FROM toks) GROUP BY term),
+         |ranked AS (
+         |  SELECT freq, row_number() OVER (ORDER BY freq DESC, term) AS r
+         |  FROM tf)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+         |       CAST(SUM(freq) AS BIGINT) AS total_tokens,
+         |       ROUND(regr_slope(ln(freq), ln(r)), 4) AS slope,
+         |       ROUND(regr_intercept(ln(freq), ln(r)), 4) AS intercept,
+         |       ROUND(regr_r2(ln(freq), ln(r)), 4) AS r2
+         |FROM ranked""".stripMargin,
 
     "o28_lang_id" ->
       s"""WITH $toksCte

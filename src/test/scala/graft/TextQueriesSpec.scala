@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.TextQueries
+
+/** Registry-level locks for the round-14 corpus-statistics additions.
+  * Both tests recompute the answer through a DIFFERENT plan than the
+  * registry query uses, so a bug in the distributed shape (the pinned
+  * shingling exchange in o62, the salted two-level rank in o63) cannot
+  * hide behind itself; the DuckDB oracle then re-checks the same
+  * contract cross-engine at the driver gate.
+  */
+class TextQueriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("o62 dup-ngram ledger matches a driver-side naive recomputation") {
+    val out = TextQueries.queries("o62_dup_ngram_stats")(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    // naive recomputation: shingle in plain Scala from collected texts
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def grams(t: String): Seq[String] = {
+      val ws = t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      if (ws.length <= 4) Seq(ws.mkString(" "))
+      else ws.sliding(4).map(_.mkString(" ")).toSeq
+    }
+    val perDoc = texts.map { case (id, t) => id -> grams(t) }
+    val docsPerGram = perDoc.toSeq.flatMap { case (id, gs) => gs.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).distinct.size }
+    val expected = perDoc.map { case (id, gs) =>
+      id -> ((gs.size.toLong, gs.count(g => docsPerGram(g) >= 2).toLong))
+    }
+    assert(out === expected)
+    assert(out.values.exists(_._2 > 0), "corpus must exercise the dup path")
+  }
+
+  test("o63 salted distributed rank yields the naive global-window fit") {
+    val got = TextQueries.queries("o63_zipf_fit")(spark, sf).collect().head
+
+    // the plan o63 deliberately avoids: one global window over the vocab
+    val toks = filter(split(trim(col("text")), "\\s+"), t => t =!= "")
+    val tf = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(toks).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+    val naive = tf
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("freq").desc, col("term"))))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        sum(col("freq")).cast("long").as("total_tokens"),
+        round(regr_slope(log(col("freq")), log(col("r"))), 4).as("slope"),
+        round(regr_intercept(log(col("freq")), log(col("r"))), 4).as("intercept"),
+        round(regr_r2(log(col("freq")), log(col("r"))), 4).as("r2"))
+      .collect().head
+    assert(got.getLong(0) === naive.getLong(0))
+    assert(got.getLong(1) === naive.getLong(1))
+    // rank assignment within a frequency tie class differs between the
+    // two plans; the fit is a multiset invariant, so the rounded values
+    // must agree exactly
+    assert(got.getDouble(2) === naive.getDouble(2), "slope")
+    assert(got.getDouble(3) === naive.getDouble(3), "intercept")
+    assert(got.getDouble(4) === naive.getDouble(4), "r2")
+    assert(got.getDouble(2) < 0.0, "zipf slope must be negative")
+  }
+}
