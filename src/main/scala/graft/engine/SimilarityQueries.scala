@@ -57,6 +57,16 @@ object SimilarityQueries {
     "o57_srp_lsh_neardup" -> ((s, d) =>
       Similarity.srpNearDup(embeddings(s, d)).orderBy("a", "b")),
 
+    // SQ8 scalar-quantized ANN: int8 codes → quantized-cosine candidate
+    // cut → exact rerank (hash-checked: codes and code-space scores are
+    // integer-exact on both engines, so the candidate cut is
+    // deterministic; the rerank reuses o23's bit-identical cosine).
+    // Recall vs exact o23 additionally asserted in SimilaritySpec.
+    "x07_sq8_ann" -> ((s, d) =>
+      Similarity.sq8TopK(embeddings(s, d), nQueries = 10, k = 5, c = 25)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))),
+
     // multimodal: binary media column + typed metadata → partition-local
     // stub decode → per-source feature aggregate. Hash-checked: the stub
     // decode is deterministic byte-histogram moments, which the oracle
@@ -156,6 +166,50 @@ object SimilarityQueries {
         |       ROUND(CAST(SUM(CAST(std AS DECIMAL(18,6))) AS DOUBLE)
         |             / COUNT(*), 4) AS avg_byte_std
         |FROM perdoc GROUP BY source ORDER BY source""".stripMargin,
+
+    // replays the SQ8 pipeline byte-for-byte: per-dim max-abs scales,
+    // integer codes via the same round(x / s * 127) chain, quantized
+    // cosine as adot / sqrt(na2·nq2) on exact integer sums, top-c cut,
+    // exact-cosine rerank — every candidate-cut comparison is on
+    // integer-derived doubles, so the hash check cannot be flipped by
+    // summation order on either engine
+    "x07_sq8_ann" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |dims AS (
+        |  SELECT unnest(generate_series(1, len(v))) AS i, unnest(v) AS val FROM e),
+        |sc AS (SELECT list(s ORDER BY i) AS sl
+        |       FROM (SELECT i, MAX(abs(val)) AS s FROM dims GROUP BY i)),
+        |coded AS (
+        |  SELECT e.vec_id,
+        |         [CASE WHEN sc.sl[i] = 0 THEN 0.0
+        |               ELSE round(e.v[i] / sc.sl[i] * 127) END
+        |          FOR i IN range(1, len(e.v) + 1)] AS code
+        |  FROM e, sc),
+        |cn AS (SELECT vec_id, code, list_dot_product(code, code) AS n2 FROM coded),
+        |q AS (SELECT vec_id AS query_id, code AS qcode, n2 AS qn2
+        |      FROM cn WHERE vec_id < 10),
+        |qsc AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |         list_dot_product(c.code, q.qcode) / sqrt(c.n2 * q.qn2) AS qcos
+        |  FROM q, cn c WHERE c.vec_id != q.query_id),
+        |cand AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY qcos DESC, neighbor_id) AS rn FROM qsc)
+        |  WHERE rn <= 25),
+        |rer AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |         list_cosine_similarity(qe.v, ne.v) AS cos
+        |  FROM cand c
+        |  JOIN e qe ON qe.vec_id = c.query_id
+        |  JOIN e ne ON ne.vec_id = c.neighbor_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id) AS rn FROM rer)
+        |SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos
+        |FROM ranked WHERE rn <= 5
+        |ORDER BY query_id, ROUND(cos, 6) DESC, neighbor_id""".stripMargin,
 
     "o30_embedding_neardup" ->
       """WITH e AS (

@@ -80,6 +80,27 @@ class SimilaritySpec extends AnyFunSuite {
       "distant vector must not pair at t=15")
   }
 
+  test("sq8TopK: high recall vs exact kNN on the real corpus; exact on separated clusters") {
+    // separated clusters: the quantized candidate cut cannot confuse
+    // near-orthogonal clusters, so SQ8 must equal exact kNN outright
+    val exact3 = Similarity.knnCosine(clustered, nQueries = 3, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq3 = Similarity.sq8TopK(clustered, nQueries = 3, k = 3, c = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sq3 == exact3, "SQ8 must match exact kNN on separated clusters")
+
+    // real corpus: recall@5 of the quantized pipeline vs brute force —
+    // int8 quantization of 64-dim embeddings distorts cosine by <1%,
+    // so the c=25 cut should rarely evict a true top-5 neighbor
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val exact = Similarity.knnCosine(emb, nQueries = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq = Similarity.sq8TopK(emb, nQueries = 10, k = 5, c = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect sq).size.toDouble / exact.size
+    assert(recall >= 0.9, s"SQ8 recall@5 must be >= 0.9, got $recall")
+  }
+
   test("srpNearDup on the real corpus equals brute-force all-pairs hamming") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val got = Similarity.srpNearDup(emb)
