@@ -255,6 +255,37 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // the composed curation pipeline — the operators above chained the
+    // way a real training-corpus prep run chains them, emitting the
+    // per-doc FATE LEDGER ("why was my doc dropped"): language gate →
+    // token-count quality gate → content-fingerprint dedup (the o27/o59
+    // winnowing kernel, keep-min-id) → deterministic hash-threshold
+    // sampling (the o55 kernel), first failing stage wins. Everything
+    // stays narrow: text is read once into (n_tokens, fingerprint) and
+    // never shuffles; the dedup key join carries ids and 40-byte
+    // fingerprints only; the ledger keeps EVERY doc, so downstream
+    // audits need no re-run of the gates.
+    "o64_curation_pipeline" -> ((s, d) => {
+      val langs = Seq("en", "de", "fr")
+      val base = Spread(documents(s, d)).select(
+        col("doc_id"), col("lang"),
+        size(toks).as("n_tokens"),
+        TextOps.fingerprint(col("text")).as("fp"),
+        pmod(TextOps.hash32(col("doc_id").cast("string")), lit(100L)).as("bucket"))
+      val keep = base
+        .filter(col("lang").isin(langs: _*) && col("n_tokens") >= 20)
+        .groupBy("fp").agg(min(col("doc_id")).as("keep_id"))
+      base.join(keep, Seq("fp"), "left")
+        .select(col("doc_id"), col("lang"),
+          when(!col("lang").isin(langs: _*), "lang")
+            .when(col("n_tokens") < 20, "quality")
+            .when(col("doc_id") =!= col("keep_id"), "duplicate")
+            .when(col("bucket") >=
+              when(col("lang") === "en", 50L).otherwise(80L), "sampled_out")
+            .otherwise("kept").as("fate"))
+        .orderBy("doc_id")
+    }),
+
     // corpus statistics: Zipf's-law fit of the term frequency
     // distribution — ln(freq) regressed on ln(rank). The rank is the
     // scale-sensitive part: a naive `row_number() OVER (ORDER BY freq
@@ -420,6 +451,32 @@ object TextQueries {
          |SELECT doc_id, n_tokens, top_token_share, dup_2gram_frac,
          |       (top_token_share >= 0.2 OR dup_2gram_frac >= 0.05) AS repetitive
          |FROM j ORDER BY doc_id""".stripMargin,
+
+    "o64_curation_pipeline" ->
+      s"""WITH $toksCte,
+         |sh AS (
+         |  SELECT doc_id, CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+         |         ELSE [array_to_string(list_slice(t, i, i+2), ' ') FOR i IN range(1, len(t)-1)]
+         |         END AS s
+         |  FROM toks),
+         |base AS (
+         |  SELECT t.doc_id, t.lang, len(t.t) AS n_tokens,
+         |         array_to_string(list_slice(list_sort(list_distinct(
+         |           [CAST(('0x' || substr(md5(x), 25, 8)) AS BIGINT) FOR x IN sh.s])), 1, 4), '-') AS fp,
+         |         CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 25, 8)) AS BIGINT) % 100 AS bucket
+         |  FROM toks t JOIN sh USING (doc_id)),
+         |keep AS (
+         |  SELECT fp, MIN(doc_id) AS keep_id FROM base
+         |  WHERE lang IN ('en','de','fr') AND n_tokens >= 20 GROUP BY fp)
+         |SELECT b.doc_id, b.lang,
+         |       CASE WHEN b.lang NOT IN ('en','de','fr') THEN 'lang'
+         |            WHEN b.n_tokens < 20 THEN 'quality'
+         |            WHEN b.doc_id != k.keep_id THEN 'duplicate'
+         |            WHEN b.bucket >= CASE WHEN b.lang = 'en' THEN 50 ELSE 80 END
+         |              THEN 'sampled_out'
+         |            ELSE 'kept' END AS fate
+         |FROM base b LEFT JOIN keep k USING (fp)
+         |ORDER BY doc_id""".stripMargin,
 
     "o62_dup_ngram_stats" ->
       s"""WITH $toksCte,

@@ -39,6 +39,19 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(out.values.exists(_._2 > 0), "corpus must exercise the dup path")
   }
 
+  test("o64 fate ledger covers every doc and every stage fires on the shipped corpus") {
+    val fates = TextQueries.queries("o64_curation_pipeline")(spark, "/root/testdata/sf0.01")
+      .groupBy("fate").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // one fate per doc, all docs accounted for
+    assert(fates.values.sum === 500L)
+    // testdata drift that silences a stage (e.g. no fingerprint dups
+    // left) must fail loudly here, not quietly weaken the oracle check
+    Seq("lang", "quality", "duplicate", "sampled_out", "kept").foreach { f =>
+      assert(fates.getOrElse(f, 0L) > 0L, s"stage '$f' never fired")
+    }
+  }
+
   test("o63 salted distributed rank yields the naive global-window fit") {
     val got = TextQueries.queries("o63_zipf_fit")(spark, sf).collect().head
 
