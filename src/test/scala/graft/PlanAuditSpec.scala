@@ -30,6 +30,7 @@ class PlanAuditSpec extends AnyFunSuite {
     */
   private val bnlAllowed = Set(
     "o23_knn_cosine", "o30_embedding_neardup", "x01_ann_ivf",
+    "x07_sq8_ann", // 1-row dim-scales frame + fixed query code set, both broadcast
     "o41_tfidf", // 1-row corpus-size scalar joined via broadcast
     "t11_dormant_customers", // 1-row balance-threshold scalar broadcast
     "t20_value_concentration", // 1-row region-total scalar broadcast
