@@ -334,7 +334,17 @@ object Dedup {
     *    rank). Every other common shingle sits after s* on both sides,
     *    so |A∩B| ≤ 1 + min(na − ra, nb − rb) at s*'s ranks; pairs where
     *    that bound can't reach α = ⌈τ/(1+τ)·(na+nb)⌉ (the J ≥ τ overlap
-    *    requirement) are dropped before any set is touched.
+    *    requirement) are dropped before any set is touched;
+    *  - the pair-dedup groupBy then ACCUMULATES the positional bound
+    *    over all of a pair's prefix matches (PPJoin's running ubound,
+    *    batch-shaped): a pair matching on op prefix shingles with last
+    *    match at ranks (ra*, rb*) satisfies |A∩B| ≤ op + min(na − ra*,
+    *    nb − rb*) — any common shingle ordered before the last match
+    *    would sit inside both prefixes (ranks are co-monotone with the
+    *    one global order) and so would itself be a join match, and the
+    *    rest come after (ra*, rb*) on BOTH sides. The groupBy replaces
+    *    the DISTINCT the pair-dedup needs anyway, so the tighter cut is
+    *    free — same shuffle, fewer pairs reaching the verify.
     *
     * Degenerate inputs: identical texts collapse to one representative
     * per distinct text FIRST (md5 group key, ids-only aggregation), so
@@ -346,12 +356,15 @@ object Dedup {
     * doc's shingles are that common — the posting lists that drive the
     * join stay rare-shingle-sided.
     *
-    * Scale posture, stated honestly: postings are corpus-sized, so this
-    * operator shuffles O(corpus) twice (df count is map-side combined;
-    * the per-doc prefix rank sorts each doc's shingles locally). That is
-    * the inherent price of exactness — at 100 TB the LSH pipeline is the
-    * default and this is the audit/contract tool, the same division of
-    * labor as o30 (sampled exact) vs o42 (clustered) for embeddings.
+    * Scale posture, stated honestly: the corpus TEXT is scanned exactly
+    * once; the pinned exchange carries per-doc shingle sets (~w× the
+    * text bytes) and the postings derived from them are corpus-sized,
+    * so this operator still shuffles O(corpus) (df count is map-side
+    * combined; the per-doc prefix rank sorts each doc's shingles
+    * locally). That is the inherent price of exactness — at 100 TB the
+    * LSH pipeline is the default and this is the audit/contract tool,
+    * the same division of labor as o30 (sampled exact) vs o42
+    * (clustered) for embeddings.
     *
     * FP hygiene: ⌈τ·n⌉ is computed as `ceil(τ·n − 1e-9)` and the length
     * filter as `min ≥ τ·max − 1e-9`: τ·n in doubles can land an ulp
@@ -363,27 +376,27 @@ object Dedup {
   def ngramJaccardNearDup(docs0: DataFrame, threshold: Double,
                           w: Int = 2): DataFrame = {
     val eps = 1e-9
-    // identical-text collapse on an ids-only frame; pinned behind a
-    // repartition Exchange (the projected() pattern) because FIVE
-    // consumers read it — the rep aggregation plus both sides of the
-    // membership/expansion joins — and each un-pinned consumer would
-    // re-run the corpus md5 scan
-    val keyed = spread(docs0)
-      .select(col("doc_id"), md5(col("text")).as("gkey"))
-      .repartition(col("doc_id"))
+    // ONE text pass (the projected() pattern): (doc_id, gkey, sset)
+    // behind a single pinned Exchange feeding every consumer — the rep
+    // aggregation, the membership/expansion frames, AND the shingle
+    // pipeline. Shingling duplicate members too is the trade projected()
+    // documents: the exchange carries the w-shingle sets (~w× the text
+    // bytes) so the corpus text is scanned once and never re-read. The
+    // previous shape shingled reps only, but paid a SECOND full text
+    // scan plus a rep semi-join for it — more bytes read than the
+    // member shingles cost to carry whenever the dup rate is moderate,
+    // and a third more stages for the scheduler to launch (the dominant
+    // per-query cost on a loaded cluster).
+    val keyed = projected(docs0, TextOps.shingleSet(col("text"), w), "sset")
     val members = keyed.select(col("gkey"), col("doc_id"))
     val reps = keyed.groupBy(col("gkey"))
-      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("gn"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("gn"),
+        first(col("sset")).as("sset"))
     val multi = reps.filter(col("gn") > 1).select("gkey")
-    // one shingling pass over the REPS only, pinned behind a repartition
-    // Exchange (the projected() pattern): the postings explode, the
-    // prefix rank and both verify sides all re-read one computation.
-    // The exchange carries the shingle sets — corpus-sized, the honest
-    // cost of the exact algorithm (see the scale note above).
-    val ss = spread(docs0)
-      .join(reps.select(col("doc_id")), Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), TextOps.shingleSet(col("text"), w).as("sset"))
-      .withColumn("n", size(col("sset")))
+    // reps' shingle sets, re-pinned on doc_id: the postings explode is
+    // read by both the vocabulary pass and the sid join below.
+    val ss = reps
+      .select(col("doc_id"), col("sset"), size(col("sset")).as("n"))
       .repartition(col("doc_id"))
     val posts = ss.select(col("doc_id"), col("n"), explode(col("sset")).as("sh"))
     // unique LONG id per distinct shingle, fully declaratively: bucket
@@ -428,14 +441,30 @@ object Dedup {
     val Bs = ranked.alias("B")
     val alpha = ceil(lit(threshold / (1.0 + threshold)) *
       (col("A.n") + col("B.n")) - lit(eps))
+    // Pair dedup doubles as the ACCUMULATED positional cut (see the
+    // scheme note above): op prefix matches with last match at ranks
+    // (mra, mrb) bound |A∩B| by op + min(na − mra, nb − mrb); pairs
+    // whose bound can't reach α die here, before any set is joined.
+    // max/first aggregate with partial (map-side) combine, so this is
+    // the same shuffle DISTINCT would have paid.
     val cand = A.join(Bs,
         col("A.sid") === col("B.sid") && col("A.doc_id") < col("B.doc_id") &&
           least(col("A.n"), col("B.n")) >=
             lit(threshold) * greatest(col("A.n"), col("B.n")) - lit(eps) &&
           col("A.r") <= col("A.n") - alpha + 1 &&
           col("B.r") <= col("B.n") - alpha + 1)
-      .select(col("A.doc_id").as("a"), col("B.doc_id").as("b"))
-      .distinct()
+      .select(col("A.doc_id").as("a"), col("B.doc_id").as("b"),
+        col("A.n").as("pna"), col("B.n").as("pnb"),
+        col("A.r").as("ra"), col("B.r").as("rb"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("op"), max(col("ra")).as("mra"),
+        max(col("rb")).as("mrb"),
+        first(col("pna")).as("pna"), first(col("pnb")).as("pnb"))
+      .filter(col("op") +
+        least(col("pna") - col("mra"), col("pnb") - col("mrb")) >=
+        ceil(lit(threshold / (1.0 + threshold)) *
+          (col("pna") + col("pnb")) - lit(eps)))
+      .select(col("a"), col("b"))
     val inter = graft.functions.SetKernelFunctions
       .sortedIntersectSizeLong(col("sa"), col("sb")).cast("double")
     val repPairs = cand

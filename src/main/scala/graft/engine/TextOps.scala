@@ -20,12 +20,22 @@ object TextOps {
     * (mirrors [[graft.functions.TextHash.shingles]]).
     * Oracle: `CASE WHEN len(t) <= w THEN [array_to_string(t,' ')]
     * ELSE [array_to_string(list_slice(t,i,i+w-1),' ') FOR i IN range(1, len(t)-w+2)] END`.
+    *
+    * The `transform(array(toks), ts => …)` wrapper is a Column-level
+    * LET BINDING, not decoration: higher-order functions run interpreted
+    * (CodegenFallback), and an unbound `toks` expression referenced from
+    * inside the per-index lambda — `slice(toks, i, w)` — is RE-EVALUATED
+    * on every index, turning an O(T) shingling into O(T²) split+filter
+    * work per document (measured 7× on the o53 text pass: 3.4 s → 0.5 s
+    * at sf0.1). Binding `toks` to a lambda variable evaluates it once
+    * per row; the inner lambdas then read the bound array by reference.
     */
   def shingles(toks: Column, w: Int = 3): Column =
-    when(size(toks) <= w, array(concat_ws(" ", toks)))
-      .otherwise(transform(
-        sequence(lit(1), size(toks) - (w - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(w)))))
+    flatten(transform(array(toks), ts =>
+      when(size(ts) <= w, array(concat_ws(" ", ts)))
+        .otherwise(transform(
+          sequence(lit(1), size(ts) - (w - 1)),
+          i => concat_ws(" ", slice(ts, i, lit(w)))))))
 
   /** Distinct shingle set (string identity — exact, no hash collisions). */
   def shingleSet(text: Column, w: Int = 3): Column =
