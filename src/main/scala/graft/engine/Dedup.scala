@@ -608,8 +608,16 @@ object Dedup {
       .agg(min(least(col("src"), col("dst"))).as("comp"))
       .withColumnRenamed("src", "id")
       .localCheckpoint(true)
+    // Convergence via the MONOTONE label sum: labels only ever decrease,
+    // so Σcomp strictly decreases iff any node changed — one map-side-
+    // combined aggregate over the just-checkpointed blocks replaces the
+    // per-round m2⋈comp shuffle join the old change check paid. decimal
+    // sum: 1e12 ids × 1e12 max label overflows a long's 9.2e18.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).first().getDecimal(0)
     var iter = 0
     var converged = edges.isEmpty
+    var prevSum = if (converged) null else labelSum(comp)
     while (!converged && iter < maxIter) {
       // rule 1: min over self + neighbors
       val viaNeighbor = edges
@@ -623,10 +631,10 @@ object Dedup {
           Seq("comp"), "left")
         .select(col("id"), coalesce(col("cc"), col("comp")).as("comp"))
         .localCheckpoint(true)
-      val changed = !m2.join(comp.withColumnRenamed("comp", "old"), "id")
-        .filter(col("comp") < col("old")).isEmpty
+      val newSum = labelSum(m2)
       comp = m2
-      converged = !changed
+      converged = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
       iter += 1
     }
     edges.unpersist()
