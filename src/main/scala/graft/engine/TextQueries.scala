@@ -343,6 +343,68 @@ object TextQueries {
         .groupBy("lang", "guess")
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("lang", "guess")
+    }),
+
+    // perplexity-proxy quality score: per-doc mean unigram SURPRISAL in
+    // bits, −avg log2 p(tok), under the corpus's own unigram LM — the
+    // cheap stand-in for the perplexity filter every LLM-corpus pipeline
+    // runs (CCNet-style), with no model artifact needed. Shape: ONE
+    // explode pass pinned behind a narrow (doc_id, tok) exchange feeds
+    // both the LM build (tok-keyed count, map-side combined) and the
+    // per-doc scoring join; the LM is vocabulary-sized (≪ corpus, Heaps'
+    // law) so AQE broadcasts it at any realistic SF, and the one-row
+    // total is a pinned broadcast. Token stream never shuffles twice.
+    "o65_unigram_surprisal" -> ((s, d) => {
+      val tk = Spread(documents(s, d))
+        .select(col("doc_id"), explode(toks).as("tok"))
+        .repartition(col("doc_id"))
+      val cnt = tk.groupBy("tok").agg(count(lit(1)).cast("double").as("c"))
+      val tot = cnt.agg(sum(col("c")).as("n"))
+      tk.join(cnt, "tok")
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_tokens"),
+          round(avg(-log(2.0, col("c") / col("n"))), 2).as("surprisal"))
+        .orderBy("doc_id")
+    }),
+
+    // leak-free train/val/test split: the split key is a hash of the
+    // CONTENT (portable md5-derived bucket of the full text), not the
+    // doc id — byte-identical duplicates land in the same split by
+    // construction, so exact-dup leakage across train/test is
+    // impossible no matter how the corpus is sharded or re-ingested.
+    // Pure map-side: no shuffle at any scale; 80/10/10 by bucket.
+    "o66_hash_split" -> ((s, d) => {
+      val bucket = pmod(TextOps.hash32(col("text")), lit(100L))
+      documents(s, d)
+        .select(col("doc_id"), col("lang"), bucket.as("bucket"),
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    }),
+
+    // PII/brand redaction ledger: per-doc match counts for an email, an
+    // IPv4 and a denylist-term pattern plus the md5 + length of the
+    // fully-masked text — the audit artifact a scrubbing pass must
+    // emit (counts prove what was found; the hash pins what was
+    // shipped). Patterns stay in the RE2-compatible subset so the Java
+    // and DuckDB engines agree byte-for-byte. Map-side only — the scan
+    // is the whole cost at any scale; gated Spread fans a single-split
+    // corpus across cores for the regex-heavy pass.
+    "o67_redaction_ledger" -> ((s, d) => {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val brand = "\\bspark\\b"
+      val mask = "[MASKED]"
+      val redacted = regexp_replace(regexp_replace(regexp_replace(
+        col("text"), email, mask), ipv4, mask), brand, mask)
+      Spread(documents(s, d)).select(col("doc_id"),
+        regexp_count(col("text"), lit(email)).cast("long").as("n_email"),
+        regexp_count(col("text"), lit(ipv4)).cast("long").as("n_ipv4"),
+        regexp_count(col("text"), lit(brand)).cast("long").as("n_brand"),
+        md5(redacted).as("redacted_md5"),
+        length(redacted).cast("long").as("redacted_len"))
+        .orderBy("doc_id")
     })
   )
 
@@ -539,6 +601,44 @@ object TextQueries {
          |                               ORDER BY tfidf DESC, term) AS rn
          |  FROM scored)
          |SELECT doc_id, term, tf, df, tfidf FROM ranked WHERE rn <= 3
-         |ORDER BY doc_id, tfidf DESC, term""".stripMargin
+         |ORDER BY doc_id, tfidf DESC, term""".stripMargin,
+
+    "o65_unigram_surprisal" ->
+      s"""WITH $toksCte,
+         |tk AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+         |cnt AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c FROM tk GROUP BY tok),
+         |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tk)
+         |SELECT tk.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |       ROUND(AVG(-log2(cnt.c / tot.n)), 2) AS surprisal
+         |FROM tk JOIN cnt USING (tok) CROSS JOIN tot
+         |GROUP BY tk.doc_id ORDER BY tk.doc_id""".stripMargin,
+
+    "o66_hash_split" ->
+      s"""SELECT doc_id, lang, bucket,
+         |       CASE WHEN bucket < 80 THEN 'train'
+         |            WHEN bucket < 90 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM (SELECT doc_id, lang,
+         |        CAST(('0x' || substr(md5(text), 25, 8)) AS BIGINT) % 100 AS bucket
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "o67_redaction_ledger" ->
+      s"""SELECT doc_id, n_email, n_ipv4, n_brand,
+         |       md5(redacted) AS redacted_md5,
+         |       CAST(length(redacted) AS BIGINT) AS redacted_len
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text,
+         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+         |    CAST(len(regexp_extract_all(text,
+         |      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
+         |    CAST(len(regexp_extract_all(text, '\\bspark\\b')) AS BIGINT) AS n_brand,
+         |    regexp_replace(regexp_replace(regexp_replace(text,
+         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[MASKED]', 'g'),
+         |      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[MASKED]', 'g'),
+         |      '\\bspark\\b', '[MASKED]', 'g') AS redacted
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin
   )
 }

@@ -34,7 +34,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "o41_tfidf", // 1-row corpus-size scalar joined via broadcast
     "t11_dormant_customers", // 1-row balance-threshold scalar broadcast
     "t20_value_concentration", // 1-row region-total scalar broadcast
-    "o52_skew_join_rehearsal") // 1-row hot-key scalar broadcast
+    "o52_skew_join_rehearsal", // 1-row hot-key scalar broadcast
+    "o65_unigram_surprisal") // 1-row corpus-token-total scalar broadcast
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.collect {

@@ -52,6 +52,62 @@ class TextQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("o65 surprisal matches a driver-side naive unigram LM") {
+    val got = TextQueries.queries("o65_unigram_surprisal")(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").filter(_.nonEmpty).toSeq)
+    val cnt = texts.flatMap(_._2).groupBy(identity).map { case (t, xs) => t -> xs.size.toDouble }
+    val n = texts.map(_._2.size).sum.toDouble
+    texts.foreach { case (id, ts) =>
+      val exp = ts.map(t => -math.log(cnt(t) / n) / math.log(2.0)).sum / ts.size
+      assert(got(id)._1 === ts.size.toLong)
+      assert(math.abs(got(id)._2 - exp) < 0.005 + 1e-9, s"doc $id")
+    }
+    // the LM must discriminate: not all docs score identically
+    assert(got.values.map(_._2).toSet.size > 1)
+  }
+
+  test("o66 split is leak-free by construction: equal text => equal split") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1))
+    val split = TextQueries.queries("o66_hash_split")(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(split.size === docs.length)
+    split.values.foreach { case (b, s) =>
+      assert(b >= 0 && b < 100)
+      assert(s === (if (b < 80) "train" else if (b < 90) "val" else "test"))
+    }
+    docs.groupBy(_._2).values.filter(_.length > 1).foreach { grp =>
+      val splits = grp.map(d => split(d._1)._2).distinct
+      assert(splits.length === 1, "identical texts straddle splits")
+    }
+    assert(split.values.map(_._2).toSet === Set("train", "val", "test"))
+  }
+
+  test("o67 redaction ledger matches Java-regex recomputation") {
+    val got = TextQueries.queries("o67_redaction_ledger")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getString(4), r.getLong(5)))).toMap
+    val brand = "\\bspark\\b".r
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1))
+    texts.foreach { case (id, t) =>
+      val nBrand = brand.findAllIn(t).size.toLong
+      val red = t.replaceAll("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[MASKED]")
+        .replaceAll("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[MASKED]")
+        .replaceAll("\\bspark\\b", "[MASKED]")
+      val md5hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(red.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(got(id)._1 === nBrand, s"doc $id brand count")
+      assert(got(id)._2 === md5hex, s"doc $id redacted md5")
+      assert(got(id)._3 === red.length.toLong, s"doc $id redacted len")
+    }
+    // the corpus must actually exercise the masking path
+    assert(got.values.exists(_._1 > 0))
+  }
+
   test("o63 salted distributed rank yields the naive global-window fit") {
     val got = TextQueries.queries("o63_zipf_fit")(spark, sf).collect().head
 
