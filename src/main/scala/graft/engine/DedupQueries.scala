@@ -26,12 +26,19 @@ object DedupQueries {
 
     // n-gram prefix-filter Jaccard: EXACT near-dup audit (no probabilistic
     // stage at all) — df-ordered prefix filter + length filter prune the
-    // candidate space, exact set Jaccard verifies. τ=0.6 with 2-gram
-    // shingles deliberately exercises the ⌈τ·n⌉ FP boundary (0.6·5 lands
-    // an ulp above 3.0) that the epsilon guard in the implementation
-    // defends against. The exact audit counterpart to o22's LSH estimate.
+    // candidate space, exact set Jaccard verifies. w=3: prefix filtering
+    // is only as selective as the shingle vocabulary is wide, and 2-grams
+    // over a small-vocabulary corpus collapse it (measured on the sf0.1
+    // synthetic corpus: 931 distinct 2-grams → 8.5M prefix-join rows and
+    // 4.1M candidate pairs from 5k docs, vs 27k distinct 3-grams → 204k
+    // join rows / 193k pairs — a 40× cut for the same τ). A distribution
+    // shift in the corpus must degrade the CANDIDATE COUNT gracefully,
+    // not quadratically; 3-grams are the smallest shingle with that
+    // property here. The ⌈τ·n⌉ FP-boundary hazards stay pinned at the
+    // kernel level in DedupSpec (w=2 micro-corpora built to land on the
+    // ulp edges). The exact audit counterpart to o22's LSH estimate.
     "o53_ngram_prefix_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccardNearDup(documents(s, d), threshold = 0.6, w = 2)
+      Dedup.ngramJaccardNearDup(documents(s, d), threshold = 0.6, w = 3)
         .orderBy("a", "b")),
 
     // bottom-4 portable shingle-hash fingerprint per doc (winnowing-style
@@ -82,15 +89,6 @@ object DedupQueries {
        |         END AS s
        |  FROM toks)""".stripMargin
 
-  // 2-gram variant of shinglesCte for the o53 exact-Jaccard audit.
-  private val shingles2Cte =
-    s"""$toksCte,
-       |sh AS (
-       |  SELECT doc_id, CASE WHEN len(t) <= 2 THEN [array_to_string(t, ' ')]
-       |         ELSE [array_to_string(list_slice(t, i, i+1), ' ') FOR i IN range(1, len(t))]
-       |         END AS s
-       |  FROM toks)""".stripMargin
-
   def oracles: Map[String, String] = Map(
     // exact pairs (the o22 oracle's body) → undirected edges → label of
     // a node = min id over its transitive closure, via a recursive CTE
@@ -115,7 +113,7 @@ object DedupQueries {
          |FROM documents d LEFT JOIN lab l ON l.id = d.doc_id
          |ORDER BY doc_id""".stripMargin,
     "o53_ngram_prefix_jaccard" ->
-      s"""WITH $shingles2Cte,
+      s"""WITH $shinglesCte,
          |ss AS (SELECT doc_id, list_distinct(s) AS s FROM sh)
          |SELECT a.doc_id AS a, b.doc_id AS b,
          |       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
