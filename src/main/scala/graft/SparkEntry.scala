@@ -1,8 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.engine.{AnalyticsQueries, DedupQueries, Medallion, MedallionQueries,
-  OperatorQueries, PipelineQueries, SimilarityQueries, Tables, TextQueries, TpchQueries}
+import graft.engine.{AnalyticsQueries, DedupQueries, GraphQueries, Medallion,
+  MedallionQueries, OperatorQueries, PipelineQueries, SimilarityQueries, Tables,
+  TextQueries, TpchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -38,6 +39,7 @@ object SparkEntry {
       SimilarityQueries.queries ++
       PipelineQueries.queries ++
       TpchQueries.queries ++
+      GraphQueries.queries ++
       graft.streaming.StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -67,5 +69,6 @@ object SparkEntry {
       SimilarityQueries.oracles ++
       PipelineQueries.oracles ++
       TpchQueries.oracles ++
+      GraphQueries.oracles ++
       graft.streaming.StreamingQueries.oracles
 }

@@ -1,0 +1,74 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-contract registry for graph operators ([[Graph]]).
+  * The dedup-cluster graph op (connected components) is registered with
+  * its consumer in [[DedupQueries]] (o54); here live the standalone
+  * graph analytics.
+  */
+object GraphQueries {
+  import Tables._
+
+  /** Undirected part↔supplier bipartite edges from lineitem, encoded in
+    * one long node space (part = 2·partkey, supplier = 2·suppkey + 1).
+    * DISTINCT first: the raw fact table repeats a (part, supplier) lane
+    * per order line, and edge multiplicity would both skew the rank and
+    * blow the join — the distinct is the map-side-combined dedup any
+    * 100 TB edge extraction starts with.
+    */
+  private def partSupplierEdges(s: SparkSession, d: String): DataFrame = {
+    val e0 = lineitem(s, d)
+      .select((col("l_partkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    e0.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(e0.select(col("b").as("src"), col("a").as("dst")))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // 5-round fixed-point PageRank on the part↔supplier graph: which
+    // parts/suppliers sit at the densest sourcing crossroads. Longs in
+    // millionths end-to-end (see Graph.pagerankFixedPoint's determinism
+    // contract) — the oracle unrolls the same 5 integer-exact rounds in
+    // SQL and must match hash-exactly. Top-100 via TakeOrderedAndProject.
+    "o70_pagerank" -> ((s, d) =>
+      Graph.pagerankFixedPoint(partSupplierEdges(s, d), iterations = 5)
+        .select(
+          when(pmod(col("node"), lit(2)) === 0, "part").otherwise("supplier").as("kind"),
+          expr("node div 2").cast("long").as("key"),
+          col("rank"), col("node"))
+        .orderBy(col("rank").desc, col("kind"), col("key"))
+        .limit(100)
+        .select(col("kind"), col("key"), col("rank")))
+  )
+
+  def oracles: Map[String, String] = {
+    // one synchronous integer-exact round, parameterized on the previous
+    // round's CTE name — unrolled because recursive CTEs (Postgres rule,
+    // DuckDB same) disallow aggregation in the recursive term
+    def round(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT ed.dst AS node,
+         |         150000 + (85 * SUM($prev.rank // deg.deg)) // 100 AS rank
+         |  FROM ed JOIN deg USING (src) JOIN $prev ON $prev.node = ed.src
+         |  GROUP BY ed.dst)""".stripMargin
+    Map(
+      "o70_pagerank" ->
+        s"""WITH e0 AS (
+           |  SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b FROM lineitem),
+           |ed AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0),
+           |deg AS (SELECT src, COUNT(*) AS deg FROM ed GROUP BY src),
+           |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank FROM deg),
+           |${round("r0", "r1")},
+           |${round("r1", "r2")},
+           |${round("r2", "r3")},
+           |${round("r3", "r4")},
+           |${round("r4", "r5")}
+           |SELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS kind,
+           |       CAST(node // 2 AS BIGINT) AS key, CAST(rank AS BIGINT) AS rank
+           |FROM r5
+           |ORDER BY rank DESC, kind, key LIMIT 100""".stripMargin
+    )
+  }
+}

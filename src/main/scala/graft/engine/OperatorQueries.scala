@@ -248,6 +248,32 @@ object OperatorQueries {
         .orderBy("user_id")
     }),
 
+    // SCD Type-2 attribute history from an event log: per user, collapse
+    // consecutive equal event_types into versioned validity intervals
+    // [valid_from_us, valid_to_us] (µs-inclusive; −1 = open/current) —
+    // the warehouse dimension-history build, done as ONE shuffle: the
+    // change-detect lag and the interval lead/row_number windows all
+    // share partitionBy(user_id) with a compatible sort, so Spark plans
+    // a single Exchange+Sort and the filter between them is
+    // order-preserving (plan-audited in PlanAuditSpec). At 100 TB this
+    // is the canonical shape: nothing here is corpus-global, every
+    // stage is per-user bounded.
+    "o69_scd2_history" -> ((s, d) => {
+      val wAll = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(wAll))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+        .withColumn("valid_to_us",
+          coalesce(lead(col("us"), 1).over(wAll) - 1, lit(-1L)))
+        .withColumn("ver", row_number().over(wAll).cast("long"))
+        .select(col("user_id"), col("ver"), col("event_type"),
+          col("us").as("valid_from_us"), col("valid_to_us"),
+          (col("valid_to_us") === -1L).as("is_current"))
+        .orderBy("user_id", "valid_from_us")
+    }),
+
     // §2.12 text-to-SQL surface: sanitize an LLM-shaped response and run
     // it through spark.sql over the gold temp views (GROUP BY ordinal = A10)
     "o20_sql_surface" -> ((s, d) => {
@@ -422,6 +448,24 @@ object OperatorQueries {
         |       CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |       COUNT(*) AS n_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "o69_scd2_history" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type
+        |  FROM events),
+        |ch AS (
+        |  SELECT user_id, event_id, event_type, us FROM e
+        |  WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id,
+        |       CAST(row_number() OVER w AS BIGINT) AS ver,
+        |       event_type,
+        |       us AS valid_from_us,
+        |       COALESCE(lead(us) OVER w - 1, -1) AS valid_to_us,
+        |       COALESCE(lead(us) OVER w - 1, -1) = -1 AS is_current
+        |FROM ch
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |ORDER BY user_id, valid_from_us""".stripMargin,
 
     "o20_sql_surface" ->
       """WITH fact AS (

@@ -405,6 +405,68 @@ object TextQueries {
         md5(redacted).as("redacted_md5"),
         length(redacted).cast("long").as("redacted_len"))
         .orderBy("doc_id")
+    }),
+
+    // BM25 top-15 retrieval (k1=1.2, b=0.75) for a fixed 3-term query.
+    // The retrieval plan a 100 TB corpus wants: the per-doc projection
+    // keeps ONLY query-term tokens (the filter sits inside the token
+    // array before the explode, so non-matching tokens never become
+    // rows), dl rides along in the same projection — corpus text is
+    // scanned once and only query-term postings enter the (doc, term)
+    // aggregation. N/avgdl is a 1-row broadcast; df comes from the
+    // already-filtered postings (df(t) = docs where tf(t) > 0). Scores
+    // are rounded to 6 dp on both engines so a last-ulp libm ln/÷
+    // difference cannot flip the hash or the ranking; ties break on
+    // doc_id. Top-k compiles to TakeOrderedAndProject — no global sort.
+    "o68_bm25_topk" -> ((s, d) => {
+      val qTerms = Seq("spark", "hash", "join")
+      val k1 = 1.2
+      val b = 0.75
+      val perDoc = documents(s, d)
+        .select(col("doc_id"), size(toks).as("dl"),
+          filter(toks, t => t.isin(qTerms: _*)).as("qtoks"))
+        .filter(size(col("qtoks")) > 0)
+      val tf = perDoc
+        .select(col("doc_id"), col("dl"), explode(col("qtoks")).as("term"))
+        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val stats = documents(s, d)
+        .agg(count(lit(1)).as("n_docs"), avg(size(toks)).as("avgdl"))
+      tf.join(broadcast(df), "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf", log(
+          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+        .withColumn("score", col("idf") * col("tf") * (lit(k1) + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("score")), 6).as("bm25"),
+          count(lit(1)).as("n_terms_hit"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(15)
+    }),
+
+    // RAG/pretraining chunking: overlapping token windows (size 32,
+    // stride 24) with per-chunk content hashes — the shape a chunk
+    // embedding or packing stage consumes. Entirely map-side builtins
+    // (sequence → explode → slice → md5): zero shuffle at any corpus
+    // size, and chunk identity (doc_id, chunk_id) is stable under
+    // re-partitioning because it derives from token offsets, not row
+    // order. The md5 pins chunk CONTENT parity with the oracle without
+    // dumping chunk text through the harness.
+    "o71_doc_chunks" -> ((s, d) => {
+      val size32 = 32
+      val stride = 24
+      documents(s, d)
+        .select(col("doc_id"), toks.as("t"))
+        .filter(size(col("t")) > 0)
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(1), size(col("t")), lit(stride))).as("start"))
+        .select(col("doc_id"),
+          ((col("start") - 1) / stride).cast("long").as("chunk_id"),
+          size(slice(col("t"), col("start"), lit(size32))).cast("long").as("n_chunk_tokens"),
+          md5(array_join(slice(col("t"), col("start"), lit(size32)), " ")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
     })
   )
 
@@ -639,6 +701,40 @@ object TextQueries {
          |      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[MASKED]', 'g'),
          |      '\\bspark\\b', '[MASKED]', 'g') AS redacted
          |  FROM documents)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    // constants are spelled as the same ARITHMETIC Spark's plan folds
+    // ((1.2 + 1.0), not 2.2) so both engines round the identical IEEE
+    // double; AVG over integer token counts is order-independent
+    // (integer-valued double sums are exact below 2^53)
+    "o68_bm25_topk" ->
+      s"""WITH $toksCte,
+         |qd AS (
+         |  SELECT doc_id, len(t) AS dl,
+         |         list_filter(t, x -> x IN ('spark', 'hash', 'join')) AS q
+         |  FROM toks),
+         |tf AS (
+         |  SELECT doc_id, dl, term, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(q) AS term FROM qd WHERE len(q) > 0)
+         |  GROUP BY 1, 2, 3),
+         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |st AS (SELECT COUNT(*) AS n_docs, AVG(len(t)) AS avgdl FROM toks)
+         |SELECT doc_id,
+         |       ROUND(SUM(LN((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * (1.2 + 1.0) /
+         |                 (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25,
+         |       CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+         |FROM tf JOIN df USING (term) CROSS JOIN st
+         |GROUP BY doc_id
+         |ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin,
+
+    "o71_doc_chunks" ->
+      s"""WITH $toksCte,
+         |st AS (
+         |  SELECT doc_id, t, unnest(range(1, len(t) + 1, 24)) AS start
+         |  FROM toks WHERE len(t) > 0)
+         |SELECT doc_id, CAST((start - 1) // 24 AS BIGINT) AS chunk_id,
+         |       CAST(len(list_slice(t, start, start + 31)) AS BIGINT) AS n_chunk_tokens,
+         |       md5(array_to_string(list_slice(t, start, start + 31), ' ')) AS chunk_md5
+         |FROM st ORDER BY doc_id, chunk_id""".stripMargin
   )
 }

@@ -35,7 +35,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "t11_dormant_customers", // 1-row balance-threshold scalar broadcast
     "t20_value_concentration", // 1-row region-total scalar broadcast
     "o52_skew_join_rehearsal", // 1-row hot-key scalar broadcast
-    "o65_unigram_surprisal") // 1-row corpus-token-total scalar broadcast
+    "o65_unigram_surprisal", // 1-row corpus-token-total scalar broadcast
+    "o68_bm25_topk") // 1-row (N, avgdl) corpus-stats broadcast
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.collect {
@@ -236,5 +237,27 @@ class PlanAuditSpec extends AnyFunSuite {
       plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
         .contains("order_month"),
       s"expected order_month in PartitionFilters, got:\n$plan")
+  }
+
+  test("o70's five PageRank rounds shuffle the edge list once (ReusedExchange)") {
+    // exchange reuse is an AQE runtime decision — assert on the FINAL
+    // adaptive plan after execution (PlanDiff.flatten recurses through
+    // query stages), not the static pre-AQE string
+    val qe = SparkEntry.queries("o70_pagerank")(spark, sf).queryExecution
+    qe.toRdd.count(): Unit
+    val nodes = PlanDiff.flatten(qe.executedPlan)
+    val reused = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ReusedExchangeExec])
+    assert(reused >= 4,
+      s"expected the edge/degree exchanges to be reused across the 5 rounds, got $reused")
+  }
+
+  test("o69's lag + lead + row_number windows share one Exchange over user_id") {
+    val plan = plans("o69_scd2_history")
+    // the final orderBy adds a rangepartitioning Exchange; the windows
+    // themselves must all ride the single hashpartitioning(user_id) one
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1,
+      s"expected exactly 1 hash Exchange for the three user_id windows, got $hashEx:\n$plan")
   }
 }
