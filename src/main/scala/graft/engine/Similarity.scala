@@ -166,6 +166,70 @@ object Similarity {
       .filter(col("hamming") <= t)
   }
 
+  /** Integer-exact Lloyd's k-means over quantized embeddings, for
+    * diversity-aware curation (cluster-then-sample) where no upstream
+    * `label` assignment exists — the quantizer [[ivfTopK]] assumes is
+    * built HERE. Every arithmetic step is engineered to be bit-identical
+    * across engines (the o57/x07 discipline):
+    *
+    *  - vectors are quantized AND SHIFTED non-negative
+    *    (`round(x·scale) + scale` ∈ [0, 2·scale]) so every sum below is
+    *    an exact integer sum and truncating integer division equals
+    *    floor division on both engines (Spark `div` truncates toward
+    *    zero, DuckDB `//` floors — they only agree on non-negatives,
+    *    which the shift guarantees; squared distances are shift-
+    *    invariant so the clustering itself is unchanged);
+    *  - init: centroids = the quantized vectors of `vec_id < k`
+    *    (deterministic, no RNG — scripts can pass a hash-shuffled id);
+    *  - assign: argmin of the exact integer ‖v−c‖², ties to the smaller
+    *    cluster id; update: per-dimension `sum div count` (exact);
+    *  - a cluster that loses all members drops out (k shrinks) rather
+    *    than being re-seeded — re-seeding policies are RNG territory.
+    *
+    * Scale shape: centroids are a k×dims aggregate (tiny) broadcast back
+    * each round — the corpus never self-joins and never moves; per
+    * iteration the corpus is scanned once and shuffles only (cluster,
+    * pos, partial-sum) triples, map-side combined. The driver holds no
+    * vectors (centroid rebuild is the [[centroids]] explode/agg shape).
+    */
+  def kmeansAssign(emb: DataFrame, k: Int = 8, iterations: Int = 3,
+                   quantScale: Int = 1000): DataFrame = {
+    def dist2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+      val d = zip_with(a, b, (x, y) => x - y)
+      VectorOps.dot(d, d)
+    }
+    val qv = transform(VectorOps.asDouble(col("embedding")),
+      x => round(x * quantScale) + quantScale)
+    val q = Spread(emb).select(col("vec_id"), qv.as("qv"))
+    var cent = q.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cluster"), col("qv").as("cv"))
+    for (_ <- 1 to iterations) {
+      val assigned = q.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("qv"), col("cluster"),
+          dist2(col("qv"), col("cv")).as("d"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d"), col("cluster"))).as("m"),
+          first(col("qv")).as("qv")) // qv is functionally dependent on vec_id
+        .select(col("vec_id"), col("m.cluster").as("cluster"), col("qv"))
+      cent = assigned
+        .select(col("cluster"), posexplode(col("qv")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("col").cast("long")).as("s"), count(lit(1)).as("n"))
+        .select(col("cluster"), col("pos"),
+          expr("s div n").cast("double").as("v"))
+        .groupBy(col("cluster"))
+        .agg(collect_list(struct(col("pos"), col("v"))).as("pv"))
+        .select(col("cluster"),
+          transform(array_sort(col("pv")), x => x.getField("v")).as("cv"))
+    }
+    q.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cluster"), dist2(col("qv"), col("cv")).as("d"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d"), col("cluster"))).as("m"))
+      .select(col("vec_id"), col("m.cluster").as("cluster"),
+        col("m.d").cast("long").as("dist2"))
+  }
+
   /** Per-label centroids of the embedding column, computed by position
     * explode + grouped average (distributed; no vectors on the driver).
     */

@@ -67,6 +67,15 @@ object SimilarityQueries {
         .withColumn("cos", round(col("cos"), 6))
         .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))),
 
+    // integer-exact Lloyd's k-means (k=8, 3 update rounds) over quantized
+    // shifted embeddings — the quantizer that BUILDS the coarse cluster
+    // assignment x01/o42 consume. Hash-checked: every distance, argmin
+    // tie-break, and floor-div centroid update is an exact integer
+    // computation on both engines (see Similarity.kmeansAssign).
+    "o72_kmeans" -> ((s, d) =>
+      Similarity.kmeansAssign(embeddings(s, d), k = 8, iterations = 3)
+        .orderBy("vec_id")),
+
     // multimodal: binary media column + typed metadata → partition-local
     // stub decode → per-source feature aggregate. Hash-checked: the stub
     // decode is deterministic byte-histogram moments, which the oracle
@@ -92,7 +101,57 @@ object SimilarityQueries {
     })
   )
 
+  /** One synchronous k-means round in long (cluster, i, cv) form,
+    * parameterized on the previous round's centroid CTE — unrolled like
+    * the o70 PageRank oracle (recursive CTEs disallow aggregation in the
+    * recursive term). `SUM // COUNT` floors, matching Spark `div` on the
+    * shifted non-negative values.
+    */
+  private def kmRound(prev: String, n: Int): String =
+    s"""d$n AS (
+       |  SELECT qe.vec_id, c.cluster,
+       |         SUM((qe.val - c.cv) * (qe.val - c.cv)) AS d
+       |  FROM qe JOIN $prev c USING (i) GROUP BY 1, 2),
+       |a$n AS (
+       |  SELECT vec_id, cluster FROM (
+       |    SELECT vec_id, cluster,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+       |    FROM d$n) WHERE rn = 1),
+       |c$n AS (
+       |  SELECT a.cluster, qe.i,
+       |         CAST(CAST(SUM(qe.val) AS BIGINT) // COUNT(*) AS DOUBLE) AS cv
+       |  FROM a$n a JOIN qe USING (vec_id) GROUP BY 1, 2)""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    // replays kmeansAssign round-for-round: same shifted quantization,
+    // same exact integer distances, same (d, cluster) argmin tie-break,
+    // same floor-div centroid update, final assignment vs the round-3
+    // centroids with the exact integer distance emitted
+    "o72_kmeans" ->
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |         [round(CAST(x AS DOUBLE) * 1000) + 1000 FOR x IN embedding] AS qv
+         |  FROM embeddings),
+         |qe AS (
+         |  SELECT vec_id, unnest(generate_series(1, len(qv))) AS i,
+         |         unnest(qv) AS val
+         |  FROM q),
+         |c0 AS (
+         |  SELECT CAST(vec_id AS INTEGER) AS cluster, i, val AS cv
+         |  FROM qe WHERE vec_id < 8),
+         |${kmRound("c0", 1)},
+         |${kmRound("c1", 2)},
+         |${kmRound("c2", 3)},
+         |df AS (
+         |  SELECT qe.vec_id, c.cluster,
+         |         SUM((qe.val - c.cv) * (qe.val - c.cv)) AS d
+         |  FROM qe JOIN c3 c USING (i) GROUP BY 1, 2)
+         |SELECT vec_id, cluster, CAST(d AS BIGINT) AS dist2 FROM (
+         |  SELECT vec_id, cluster, d,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+         |  FROM df) WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin,
+
     // all-pairs hamming over the same deterministic SRP signatures the
     // Spark side computes (64 planes fixed to the testdata's 64 dims;
     // integer-exact quantized projections, UBIGINT bit packing)

@@ -101,6 +101,46 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"SQ8 recall@5 must be >= 0.9, got $recall")
   }
 
+  /** Same 3 orthogonal clusters as `clustered`, but ids interleaved so
+    * that `vec_id % 3` is the true cluster — the deterministic
+    * `vec_id < k` seeding then starts with one seed per true cluster.
+    */
+  private def interleaved = {
+    val rows = for {
+      c <- 0 until 3
+      i <- 0 until 8
+    } yield {
+      val v = Array.fill(6)(0.01f * (i + 1))
+      v(c) = 1.0f
+      ((i * 3 + c).toLong, v.toSeq, c)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  test("kmeansAssign recovers well-separated clusters from one seed each") {
+    val out = Similarity.kmeansAssign(interleaved, k = 3, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.size == 24, "every vector is assigned exactly once")
+    // all members of a true cluster land in one k-means cluster, and the
+    // three true clusters land in three distinct ones
+    val byTrue = out.groupBy(_._1 % 3).map { case (t, m) => t -> m.values.toSet }
+    byTrue.foreach { case (t, ls) =>
+      assert(ls.size == 1, s"true cluster $t split across k-means clusters $ls")
+    }
+    assert(byTrue.values.flatten.toSet.size == 3,
+      "the three true clusters must map to three distinct k-means clusters")
+  }
+
+  test("kmeansAssign is invariant to input partitioning") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val a = Similarity.kmeansAssign(emb, k = 8, iterations = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val b = Similarity.kmeansAssign(emb.repartition(7), k = 8, iterations = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(a == b, "floor-div integer arithmetic must make the result partition-free")
+    assert(a.size == 500)
+  }
+
   test("srpNearDup on the real corpus equals brute-force all-pairs hamming") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val got = Similarity.srpNearDup(emb)
