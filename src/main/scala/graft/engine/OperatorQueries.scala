@@ -274,6 +274,54 @@ object OperatorQueries {
         .orderBy("user_id", "valid_from_us")
     }),
 
+    // record-linkage fuzzy match on the DISTINCT NAME DOMAIN: collapse
+    // 20k part rows to their 64-name vocabulary first (with per-name row
+    // counts riding along), then a noun-blocked levenshtein<=3 self-join
+    // over the tiny domain. This is the scalable linkage shape: edit
+    // distance runs |vocab|²/blocks times, never |rows|² — at 100 TB the
+    // vocabulary aggregate is the only full-data pass and the pair join
+    // is broadcast. Blocking key (shared head noun) is part of the
+    // declared semantics, as in any honest blocked linkage.
+    "o73_fuzzy_name_match" -> ((s, d) => {
+      val names = part(s, d).groupBy(col("p_name"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("noun", element_at(split(col("p_name"), " "), 2))
+      val a = names.select(col("p_name").as("name_a"), col("n").as("n_a"), col("noun"))
+      val b = names.select(col("p_name").as("name_b"), col("n").as("n_b"), col("noun"))
+      a.join(broadcast(b), Seq("noun"))
+        .filter(col("name_a") < col("name_b"))
+        .withColumn("lev", levenshtein(col("name_a"), col("name_b")).cast("long"))
+        .filter(col("lev") <= 3)
+        .select(col("name_a"), col("name_b"), col("lev"), col("n_a"), col("n_b"))
+        .orderBy("name_a", "name_b")
+    }),
+
+    // ordered conversion funnel view→click→purchase with strict event-
+    // time progression, all inside ONE user_id Exchange: three stacked
+    // Window mins (each conditioned on the previous stage's timestamp)
+    // plus the per-user collapse reuse the same hash partitioning, so
+    // the 10k-event table shuffles exactly once. Stage times are exact
+    // integer microseconds; the view→purchase latency is emitted as a
+    // SUM so no cross-engine division happens.
+    "o74_funnel" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+      events(s, d)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+        .withColumn("t1", min(when(col("event_type") === "view", col("us"))).over(w))
+        .withColumn("t2", min(when(col("event_type") === "click" &&
+          col("us") > col("t1"), col("us"))).over(w))
+        .withColumn("t3", min(when(col("event_type") === "purchase" &&
+          col("us") > col("t2"), col("us"))).over(w))
+        .groupBy(col("user_id"))
+        .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"), max(col("t3")).as("t3"))
+        .agg(
+          count(lit(1)).as("n_users"),
+          count(col("t1")).as("n_view"),
+          count(col("t2")).as("n_click_after_view"),
+          count(col("t3")).as("n_converted"),
+          coalesce(sum(col("t3") - col("t1")), lit(0L)).as("total_view_to_purchase_us"))
+    }),
+
     // §2.12 text-to-SQL surface: sanitize an LLM-shaped response and run
     // it through spark.sql over the gold temp views (GROUP BY ordinal = A10)
     "o20_sql_surface" -> ((s, d) => {
@@ -291,6 +339,40 @@ object OperatorQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "o73_fuzzy_name_match" ->
+      """WITH names AS (
+        |  SELECT p_name, COUNT(*) AS n, split_part(p_name, ' ', 2) AS noun
+        |  FROM part GROUP BY 1)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev,
+        |       a.n AS n_a, b.n AS n_b
+        |FROM names a JOIN names b
+        |  ON a.noun = b.noun AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3
+        |ORDER BY name_a, name_b""".stripMargin,
+
+    "o74_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s1 AS (
+        |  SELECT user_id,
+        |         MIN(us) FILTER (WHERE event_type = 'view') AS t1
+        |  FROM e GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, t1,
+        |         MIN(us) FILTER (WHERE event_type = 'click' AND us > t1) AS t2
+        |  FROM e JOIN s1 USING (user_id) GROUP BY e.user_id, t1),
+        |s3 AS (
+        |  SELECT e.user_id, t1, t2,
+        |         MIN(us) FILTER (WHERE event_type = 'purchase' AND us > t2) AS t3
+        |  FROM e JOIN s2 USING (user_id) GROUP BY e.user_id, t1, t2)
+        |SELECT COUNT(*) AS n_users,
+        |       COUNT(t1) AS n_view,
+        |       COUNT(t2) AS n_click_after_view,
+        |       COUNT(t3) AS n_converted,
+        |       COALESCE(SUM(t3 - t1), 0) AS total_view_to_purchase_us
+        |FROM s3""".stripMargin,
+
     "o01_anti_join" ->
       """SELECT o_orderkey, o_orderstatus FROM orders o
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)

@@ -36,7 +36,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "t20_value_concentration", // 1-row region-total scalar broadcast
     "o52_skew_join_rehearsal", // 1-row hot-key scalar broadcast
     "o65_unigram_surprisal", // 1-row corpus-token-total scalar broadcast
-    "o68_bm25_topk") // 1-row (N, avgdl) corpus-stats broadcast
+    "o68_bm25_topk", // 1-row (N, avgdl) corpus-stats broadcast
+    "o72_kmeans") // ≤k-row centroid set broadcast each Lloyd round
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.collect {
@@ -250,6 +251,16 @@ class PlanAuditSpec extends AnyFunSuite {
       _.isInstanceOf[org.apache.spark.sql.execution.exchange.ReusedExchangeExec])
     assert(reused >= 4,
       s"expected the edge/degree exchanges to be reused across the 5 rounds, got $reused")
+  }
+
+  test("o74's three funnel-stage windows and the user collapse share one Exchange") {
+    val plan = plans("o74_funnel")
+    // the t1/t2/t3 stacked windows and the per-user groupBy all ride a
+    // single hashpartitioning(user_id); the only other Exchange is the
+    // final single-partition global aggregate
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1,
+      s"expected exactly 1 hash Exchange for the funnel, got $hashEx:\n$plan")
   }
 
   test("o69's lag + lead + row_number windows share one Exchange over user_id") {
