@@ -322,6 +322,61 @@ object OperatorQueries {
           coalesce(sum(col("t3") - col("t1")), lit(0L)).as("total_view_to_purchase_us"))
     }),
 
+    // first-order Markov transition counts over per-user event sequences:
+    // one user_id window Exchange orders each user's stream (event_id
+    // breaks timestamp ties), lead() forms the (from, to) bigrams, and a
+    // map-side-combined count collapses them to the |types|² transition
+    // matrix — the sequence-mining shape where the big shuffle is the
+    // ordering one and the matrix aggregate moves almost nothing.
+    "o75_event_transitions" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("from_type", "to_type")
+    }),
+
+    // weekly cohort retention triangle: cohort = a user's first active
+    // epoch-week (integer `us div week`, exact on both engines), k =
+    // weeks since cohort; n_users = cohort members active in week
+    // cohort+k. Two key changes, each map-side combined: (user, week)
+    // distinct → per-user min → (cohort, k) counts. k=0 rows are the
+    // cohort sizes.
+    "o76_cohort_retention" -> ((s, d) => {
+      val weekUs = 7L * 86400L * 1000000L
+      val uw = events(s, d)
+        .select(col("user_id"),
+          expr(s"unix_micros(ts) div ${weekUs}L").as("week"))
+        .distinct()
+      val first = uw.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week"))
+      uw.join(first, "user_id")
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("k"))
+        .agg(count(lit(1)).as("n_users")) // (user, week) already distinct
+        .orderBy("cohort_week", "k")
+    }),
+
+    // full outer join closing the §2.3 join family: monthly order counts
+    // vs monthly event counts — the calendars are disjoint by
+    // construction (TPC-H order years vs 2024 events), so both null
+    // sides are exercised for real, not as an empty code path.
+    "o77_full_outer" -> ((s, d) => {
+      val om = orders(s, d)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_orders"))
+      val em = events(s, d)
+        .groupBy(date_format(col("ts"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_events"))
+      om.join(em, Seq("month"), "full_outer")
+        .select(col("month"), col("n_orders"), col("n_events"))
+        .orderBy("month")
+    }),
+
     // §2.12 text-to-SQL surface: sanitize an LLM-shaped response and run
     // it through spark.sql over the gold temp views (GROUP BY ordinal = A10)
     "o20_sql_surface" -> ((s, d) => {
@@ -350,6 +405,38 @@ object OperatorQueries {
         |  ON a.noun = b.noun AND a.p_name < b.p_name
         |WHERE levenshtein(a.p_name, b.p_name) <= 3
         |ORDER BY name_a, name_b""".stripMargin,
+
+    "o75_event_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id) AS to_type
+        |  FROM events)
+        |SELECT event_type AS from_type, to_type, COUNT(*) AS n
+        |FROM e WHERE to_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
+
+    "o76_cohort_retention" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |         epoch_us(ts) // CAST(604800000000 AS BIGINT) AS week
+        |  FROM events),
+        |f AS (SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY 1)
+        |SELECT f.cohort_week, uw.week - f.cohort_week AS k,
+        |       COUNT(*) AS n_users
+        |FROM uw JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_week, k""".stripMargin,
+
+    "o77_full_outer" ->
+      """WITH om AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |em AS (
+        |  SELECT strftime(ts, '%Y-%m') AS month, COUNT(*) AS n_events
+        |  FROM events GROUP BY 1)
+        |SELECT COALESCE(om.month, em.month) AS month, n_orders, n_events
+        |FROM om FULL OUTER JOIN em ON om.month = em.month
+        |ORDER BY month""".stripMargin,
 
     "o74_funnel" ->
       """WITH e AS (
