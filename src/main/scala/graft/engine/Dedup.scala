@@ -566,6 +566,30 @@ object Dedup {
       .unionByName(verified.select("doc_id", "fingerprint"))
   }
 
+  /** Normalization-equivalence dedup (the CCNet/RefinedWeb "fuzzy exact"
+    * tier between raw-hash exact dedup and the probabilistic near-dup
+    * family): docs whose texts agree after lowercasing, mapping every
+    * non-alphanumeric to a space, collapsing runs of spaces, and
+    * trimming are one group; the minimum doc_id is kept and every doc
+    * gets a `(doc_id, norm_md5, is_kept, n_dups)` ledger row.
+    *
+    * Scale shape: the normalization chain and md5 are MAP-SIDE builtins,
+    * so the only shuffle carries (doc_id, 32-byte key) pairs — corpus
+    * text never enters the Exchange; group stats ride one norm_md5
+    * window. The regex class is RE2-compatible and the md5 is the
+    * portable cross-engine convention used by every other hash here.
+    */
+  def normalizedDedup(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    val keyed = Spread(docs).select(col("doc_id"), md5(norm).as("norm_md5"))
+    val w = Window.partitionBy(col("norm_md5"))
+    keyed
+      .withColumn("n_dups", count(lit(1)).over(w))
+      .withColumn("is_kept", col("doc_id") === min(col("doc_id")).over(w))
+      .select(col("doc_id"), col("norm_md5"), col("is_kept"), col("n_dups"))
+  }
+
   /** Connected components over a near-dup PAIR graph — the step that
     * turns pairwise dedup output into actionable CLUSTERS with a
     * keep-one policy: every doc gets `(doc_id, comp, is_kept)` where

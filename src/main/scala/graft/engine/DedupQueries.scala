@@ -56,6 +56,19 @@ object DedupQueries {
         Dedup.minhashLshJaccard(documents(s, d), threshold = 0.8).select("a", "b"),
         documents(s, d)).orderBy("doc_id")),
 
+    // normalization-equivalence dedup over the corpus PLUS a derived
+    // adversarial copy of itself (doc_id+100000, text uppercased,
+    // space-padded, punctuation-suffixed): every original must collapse
+    // with its disguised twin — the copies exercise the collapse path
+    // for real on a corpus whose raw texts happen to be all-distinct.
+    "o78_normalized_dedup" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      val disguised = docs.select(
+        (col("doc_id") + 100000).as("doc_id"),
+        concat(lit("  "), upper(col("text")), lit("!!")).as("text"))
+      Dedup.normalizedDedup(docs.unionByName(disguised)).orderBy("doc_id")
+    }),
+
     "o27_doc_fingerprint" -> ((s, d) =>
       Spread(documents(s, d)).select(
         col("doc_id"),
@@ -90,6 +103,23 @@ object DedupQueries {
        |  FROM toks)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // same normalization chain with DuckDB's explicit 'g' flag (Spark
+    // regexp_replace is global by default; DuckDB's is first-match)
+    "o78_normalized_dedup" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, '  ' || upper(text) || '!!' FROM documents),
+        |n AS (
+        |  SELECT doc_id,
+        |         md5(trim(regexp_replace(regexp_replace(lower(text),
+        |             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_md5
+        |  FROM aug)
+        |SELECT doc_id, norm_md5,
+        |       doc_id = MIN(doc_id) OVER (PARTITION BY norm_md5) AS is_kept,
+        |       COUNT(*) OVER (PARTITION BY norm_md5) AS n_dups
+        |FROM n ORDER BY doc_id""".stripMargin,
+
     // exact pairs (the o22 oracle's body) → undirected edges → label of
     // a node = min id over its transitive closure, via a recursive CTE
     // (WITH RECURSIVE reach enumerates (node, reachable-id) pairs; UNION

@@ -262,6 +262,25 @@ class DedupSpec extends AnyFunSuite {
     assert(groups(1L) == 1 && groups(3L) == 1 && groups(4L) == 1)
   }
 
+  test("normalizedDedup collapses case/punct/whitespace variants, keeps min id") {
+    val docs = Seq(
+      (1L, "Hello,   World!"),
+      (2L, "hello world"),
+      (3L, "HELLO-WORLD"),
+      (4L, "hello worlds"), // distinct: different token after normalization
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val out = Dedup.normalizedDedup(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2), r.getLong(3))))
+      .toMap
+    val g = out(1L)._1
+    assert(out(2L)._1 == g && out(3L)._1 == g, "1/2/3 share a normalization class")
+    assert(out(1L)._2 && !out(2L)._2 && !out(3L)._2, "min doc_id 1 is the keeper")
+    assert(out(1L)._3 == 3 && out(4L)._3 == 1 && out(5L)._3 == 1)
+    assert(out(4L)._2 && out(5L)._2, "singletons keep themselves")
+    assert(out(4L)._1 != g)
+  }
+
   test("simhashNearDup refuses a threshold the banding cannot guarantee") {
     intercept[IllegalArgumentException] { Dedup.simhashNearDup(corpus, t = 4) }
   }
