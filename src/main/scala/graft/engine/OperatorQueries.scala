@@ -377,6 +377,51 @@ object OperatorQueries {
         .orderBy("month")
     }),
 
+    // RANGE-frame window coverage (the one frame kind o38's ROWS frame
+    // doesn't touch): per-customer trailing-30-day spend over an integer
+    // epoch-day key — RANGE BETWEEN 29 PRECEDING AND CURRENT ROW must
+    // include value-gapped days, which a ROWS frame cannot express. The
+    // frame input is the pre-aggregated (customer, day) grain; sums ride
+    // decimal(18,4) so both engines agree exactly.
+    "o80_trailing_range_window" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+        .rangeBetween(-29, 0)
+      orders(s, d)
+        .select(col("o_custkey"),
+          // o_orderdate reads as TIMESTAMP_NTZ; the session is pinned
+          // UTC, so the cast is a no-op reinterpretation and the
+          // epoch-day matches DuckDB's naive epoch_us exactly
+          expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("day"),
+          col("o_totalprice"))
+        .groupBy(col("o_custkey"), col("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("daily"))
+        .withColumn("trailing_30d", sum(col("daily")).over(w))
+        .select(col("o_custkey"), col("day"),
+          round(col("daily"), 2).cast("double").as("daily"),
+          round(col("trailing_30d"), 2).cast("double").as("trailing_30d"))
+        .orderBy("o_custkey", "day")
+    }),
+
+    // distribution ranks inside bounded partitions: ntile(10) deciles +
+    // percent_rank over account balance WITHIN each nation — partitioned
+    // on purpose: a global ntile is a single-reducer sort (the plan
+    // o63/o35 exist to avoid); per-nation frames are bounded by the
+    // biggest nation. Unique (bal, custkey) ordering makes both
+    // functions deterministic; both engines share the ceil/floor group
+    // sizing of SQL ntile and the (rank-1)/(n-1) percent_rank.
+    "o81_ntile_percent_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("n_name"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      customer(s, d)
+        .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"), col("c_acctbal"))
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .withColumn("prank", round(percent_rank().over(w), 6))
+        .orderBy("n_name", "c_acctbal", "c_custkey")
+        .select(col("c_custkey"), col("n_name"), col("c_acctbal"),
+          col("decile"), col("prank"))
+    }),
+
     // §2.12 text-to-SQL surface: sanitize an LLM-shaped response and run
     // it through spark.sql over the gold temp views (GROUP BY ordinal = A10)
     "o20_sql_surface" -> ((s, d) => {
@@ -405,6 +450,28 @@ object OperatorQueries {
         |  ON a.noun = b.noun AND a.p_name < b.p_name
         |WHERE levenshtein(a.p_name, b.p_name) <= 3
         |ORDER BY name_a, name_b""".stripMargin,
+
+    "o80_trailing_range_window" ->
+      """WITH daily AS (
+        |  SELECT o_custkey,
+        |         epoch_us(o_orderdate) // CAST(86400000000 AS BIGINT) AS day,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS daily
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_custkey, day,
+        |       CAST(ROUND(daily, 2) AS DOUBLE) AS daily,
+        |       CAST(ROUND(SUM(daily) OVER (
+        |              PARTITION BY o_custkey ORDER BY day
+        |              RANGE BETWEEN 29 PRECEDING AND CURRENT ROW), 2)
+        |            AS DOUBLE) AS trailing_30d
+        |FROM daily ORDER BY o_custkey, day""".stripMargin,
+
+    "o81_ntile_percent_rank" ->
+      """SELECT c_custkey, n_name, c_acctbal,
+        |       CAST(ntile(10) OVER w AS BIGINT) AS decile,
+        |       ROUND(percent_rank() OVER w, 6) AS prank
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal, c_custkey)
+        |ORDER BY n_name, c_acctbal, c_custkey""".stripMargin,
 
     "o75_event_transitions" ->
       """WITH e AS (

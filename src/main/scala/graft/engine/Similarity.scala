@@ -157,13 +157,19 @@ object Similarity {
       col("b"), col("bv"))
     val B = banded.select(col("vec_id").as("b2"), col("sig").as("sb"),
       col("b"), col("bv"))
+    // hamming is computed and filtered STREAMING OUT OF THE BAND JOIN,
+    // before the pair-dedup shuffle: at a wide radius a narrow band
+    // passes ~1/2^bandBits of ALL pairs, so the join emits O(n²/2^b)
+    // rows — but P[hamming ≤ 15 of 64] for a random pair is ~3e-5, so
+    // the map-side filter cuts the distinct()'s input from quadratic to
+    // ~the true pair set. (Measured at sf1/20k vectors: 86 s → the
+    // band-join row count stays, the shuffle disappears.)
     A.join(B, Seq("b", "bv"))
       .filter(col("a") < col("b2"))
-      .select(col("a"), col("b2").as("b"), col("sa"), col("sb"))
-      .distinct()
-      .select(col("a"), col("b"),
+      .select(col("a"), col("b2").as("b"),
         bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
       .filter(col("hamming") <= t)
+      .distinct()
   }
 
   /** Integer-exact Lloyd's k-means over quantized embeddings, for
@@ -211,6 +217,11 @@ object Similarity {
         .agg(min(struct(col("d"), col("cluster"))).as("m"),
           first(col("qv")).as("qv")) // qv is functionally dependent on vec_id
         .select(col("vec_id"), col("m.cluster").as("cluster"), col("qv"))
+      // eager localCheckpoint truncates the lineage each round (the
+      // connectedComponents discipline): without it round i replays all
+      // prior rounds' corpus scans — O(iter²) scans instead of O(iter).
+      // The checkpointed frame is ≤ k centroid rows, so the cost is the
+      // round's own job and nothing else.
       cent = assigned
         .select(col("cluster"), posexplode(col("qv")))
         .groupBy(col("cluster"), col("pos"))
@@ -221,6 +232,7 @@ object Similarity {
         .agg(collect_list(struct(col("pos"), col("v"))).as("pv"))
         .select(col("cluster"),
           transform(array_sort(col("pv")), x => x.getField("v")).as("cv"))
+        .localCheckpoint(true)
     }
     q.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("cluster"), dist2(col("qv"), col("cv")).as("d"))

@@ -106,6 +106,46 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // training-data curation: SYSTEMATIC PPS SAMPLE (Madow) — k docs
+    // drawn with inclusion probability ∝ weight (n_chars here; any
+    // quality score in production), deterministically: probe point j
+    // sits at cumulative weight total·(2j+1)/(2k) and selects the doc
+    // whose [cum_before, cum_before+weight) interval contains it. The
+    // cumulative weights come from the o58 DISTRIBUTED prefix sum
+    // (per-chunk sums → tiny offset window → broadcast back), never a
+    // global single-reducer window; the k probe points and the 1-row
+    // total are broadcast. All arithmetic is exact integer multiply/
+    // floor-div, so the sample is bit-reproducible on both engines.
+    "o79_pps_sample" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 20
+      val chunkSize = 1000L
+      val wdocs = Spread(documents(s, d))
+        .select(col("doc_id"), col("n_chars").cast("long").as("weight"))
+        .withColumn("chunk", floor(col("doc_id") / chunkSize))
+      val offsets = wdocs.groupBy(col("chunk"))
+        .agg(sum(col("weight")).as("chunk_w"))
+        .withColumn("offset",
+          coalesce(sum(col("chunk_w")).over(
+            Window.orderBy(col("chunk"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("chunk"), col("offset"))
+      val cum = wdocs.join(broadcast(offsets), "chunk")
+        .withColumn("cum_before",
+          col("offset") + coalesce(sum(col("weight")).over(
+            Window.partitionBy(col("chunk")).orderBy(col("doc_id"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val probes = wdocs.agg(sum(col("weight")).as("total"))
+        .select(explode(sequence(lit(0), lit(k - 1))).as("j"), col("total"))
+        .select(col("j"),
+          expr(s"(total * (2 * j + 1)) div ${2 * k}").as("target"))
+      cum.join(broadcast(probes),
+          col("cum_before") <= col("target") &&
+            col("target") < col("cum_before") + col("weight"))
+        .select(col("j"), col("target"), col("doc_id"), col("weight"))
+        .orderBy("j")
+    }),
+
     // training-data curation: per-language QUALITY QUOTA — the exact
     // top-k docs per language by token count (the o25 scoring family),
     // computed SKEW-PROOF: a naive row_number over partitionBy(lang)
@@ -476,6 +516,24 @@ object TextQueries {
       |  FROM documents)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // single ordered cumsum window (the oracle may centralize; the Spark
+    // side may not) + the same exact integer probe targets
+    "o79_pps_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight FROM documents),
+        |c AS (
+        |  SELECT doc_id, weight,
+        |         COALESCE(SUM(weight) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM w),
+        |tot AS (SELECT SUM(weight) AS total FROM w),
+        |pr AS (
+        |  SELECT j.range AS j, (tot.total * (2 * j.range + 1)) // 40 AS target
+        |  FROM range(20) j, tot)
+        |SELECT CAST(pr.j AS INTEGER) AS j, pr.target, c.doc_id, c.weight
+        |FROM pr JOIN c ON c.cb <= pr.target AND pr.target < c.cb + c.weight
+        |ORDER BY j""".stripMargin,
+
     "o55_stratified_sample" ->
       """SELECT doc_id, lang,
         |       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 25, 8)) AS BIGINT) % 100 AS bucket

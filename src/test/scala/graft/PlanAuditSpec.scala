@@ -37,7 +37,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "o52_skew_join_rehearsal", // 1-row hot-key scalar broadcast
     "o65_unigram_surprisal", // 1-row corpus-token-total scalar broadcast
     "o68_bm25_topk", // 1-row (N, avgdl) corpus-stats broadcast
-    "o72_kmeans") // ≤k-row centroid set broadcast each Lloyd round
+    "o72_kmeans", // ≤k-row centroid set broadcast each Lloyd round
+    "o79_pps_sample") // k-row probe-point frame broadcast into the containment join
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.collect {
