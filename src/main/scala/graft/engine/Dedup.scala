@@ -656,6 +656,10 @@ object Dedup {
         .select(col("id"), coalesce(col("cc"), col("comp")).as("comp"))
         .localCheckpoint(true)
       val newSum = labelSum(m2)
+      // m2 is materialized (labelSum ran on the checkpointed blocks);
+      // the superseded round's checkpoint is dead — free it eagerly so a
+      // long query stream doesn't carry every round's blocks to GC time
+      comp.unpersist()
       comp = m2
       converged = newSum.compareTo(prevSum) == 0
       prevSum = newSum

@@ -209,6 +209,7 @@ object Similarity {
     val q = Spread(emb).select(col("vec_id"), qv.as("qv"))
     var cent = q.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cluster"), col("qv").as("cv"))
+    var prevCent: DataFrame = null
     for (_ <- 1 to iterations) {
       val assigned = q.crossJoin(broadcast(cent))
         .select(col("vec_id"), col("qv"), col("cluster"),
@@ -233,6 +234,13 @@ object Similarity {
         .select(col("cluster"),
           transform(array_sort(col("pv")), x => x.getField("v")).as("cv"))
         .localCheckpoint(true)
+      // the new round's frame is materialized; the superseded round's
+      // checkpoint blocks are dead weight in the block manager — release
+      // them NOW rather than at GC time, or a long query stream (the
+      // bench; any real cluster session) accumulates them until some
+      // later join pays for the memory in spills
+      if (prevCent != null) prevCent.unpersist()
+      prevCent = cent
     }
     q.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("cluster"), dist2(col("qv"), col("cv")).as("d"))

@@ -76,6 +76,31 @@ object SimilarityQueries {
       Similarity.kmeansAssign(embeddings(s, d), k = 8, iterations = 3)
         .orderBy("vec_id")),
 
+    // multimodal frame sampling as PURE BUILTINS over the binary column
+    // (Multimodal.sampleFrames' contract — every stride-th fixed-size
+    // chunk — expressed as substring-on-binary inside a transform
+    // lambda, so the whole frame ledger stays in whole-stage codegen;
+    // no typed map, no shuffle until the final order). Each frame gets
+    // a portable md5 over its UPPERCASE hex — the cross-engine hash
+    // convention — so the oracle replays byte slicing as hex-string
+    // slicing (DuckDB has no blob substring/md5). frameSize=32,
+    // stride=4: frame k covers bytes [128k, 128k+32).
+    "x08_frame_sample" -> ((s, d) => {
+      val frameSize = 32
+      val step = frameSize * 4
+      val media = Multimodal.asMediaTable(documents(s, d))
+        .filter(col("n_bytes") > 0)
+      media
+        .withColumn("frames", transform(
+          sequence(lit(0L), expr(s"(n_bytes - 1) div $step")),
+          i => col("media").substr((i * step + 1).cast("int"), lit(frameSize))))
+        .select(col("media_id"), posexplode(col("frames")))
+        .select(col("media_id"), col("pos").as("frame_idx"),
+          length(col("col")).cast("long").as("frame_len"),
+          md5(encode(hex(col("col")), "UTF-8")).as("frame_md5"))
+        .orderBy("media_id", "frame_idx")
+    }),
+
     // multimodal: binary media column + typed metadata → partition-local
     // stub decode → per-source feature aggregate. Hash-checked: the stub
     // decode is deterministic byte-histogram moments, which the oracle
@@ -186,6 +211,26 @@ object SimilarityQueries {
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
         |ORDER BY a, b""".stripMargin,
+
+    // replays the frame ledger in hex-string space: byte offset 128k →
+    // hex offset 256k+1, 32 bytes → 64 hex chars, same uppercase-hex md5
+    "x08_frame_sample" ->
+      """WITH hx AS (
+        |  SELECT doc_id AS media_id, hex(encode(text)) AS h,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents),
+        |fl AS (
+        |  SELECT media_id,
+        |         [substr(h, i * 256 + 1, 64) FOR i IN range(0, ((n - 1) // 128) + 1)] AS fs
+        |  FROM hx WHERE n > 0),
+        |fr AS (
+        |  SELECT media_id, unnest(generate_series(1, len(fs))) - 1 AS frame_idx,
+        |         unnest(fs) AS fh
+        |  FROM fl)
+        |SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |       CAST(length(fh) // 2 AS BIGINT) AS frame_len,
+        |       md5(fh) AS frame_md5
+        |FROM fr ORDER BY media_id, frame_idx""".stripMargin,
 
     // replays Multimodal.stubDecodeFeatures byte-for-byte: hex-decode the
     // UTF-8 payload, per-doc mean/std via the same sumSq/n - mean^2 form

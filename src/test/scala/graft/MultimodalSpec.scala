@@ -23,6 +23,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames(1)(0) == 20.toByte) // second frame starts at offset frameSize*stride
   }
 
+  test("x08's builtin substring slicing equals sampleFrames on the real corpus") {
+    // the registry query re-expresses the kernel as codegen'd builtins;
+    // this pins the two implementations to each other byte-for-byte
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(50).collect()
+    val got = graft.SparkEntry.queries("x08_frame_sample")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    docs.foreach { r =>
+      val bytes = r.getString(1).getBytes("UTF-8")
+      val frames = Multimodal.sampleFrames(bytes, frameSize = 32, stride = 4)
+      frames.zipWithIndex.foreach { case (f, i) =>
+        assert(got((r.getLong(0), i)) == f.length.toLong,
+          s"doc ${r.getLong(0)} frame $i length mismatch")
+      }
+      assert(!got.contains((r.getLong(0), frames.length)),
+        s"doc ${r.getLong(0)} has spurious extra frames")
+    }
+  }
+
   test("resizeStub: fixed output length, endpoints preserved-ish") {
     val bytes = Array.tabulate(1000)(i => (i % 251).toByte)
     val out = Multimodal.resizeStub(bytes, 64)
