@@ -101,6 +101,29 @@ object SimilarityQueries {
         .orderBy("media_id", "frame_idx")
     }),
 
+    // multimodal resize-to-fixed-size as PURE BUILTINS (the x08 recipe
+    // applied to Multimodal.resizeStub's strided-downsample contract:
+    // out[i] = bytes[(i·n) div 64]): payloads ≤ 64 bytes pass through,
+    // longer ones are sampled at 64 exact integer stride positions; the
+    // ledger row carries the md5 of the resized payload's uppercase hex
+    // so the oracle replays the sampling as hex-pair selection.
+    "x09_resize_ledger" -> ((s, d) => {
+      val target = 64
+      val n = col("n_bytes")
+      val sampledHex = array_join(
+        transform(sequence(lit(0L), lit(target - 1L)),
+          i => hex(col("media").substr(
+            (floor((i * n) / lit(target.toDouble)).cast("long") + 1).cast("int"),
+            lit(1)))), "")
+      Multimodal.asMediaTable(documents(s, d))
+        .filter(n > 0)
+        .withColumn("rhex", when(n <= target, hex(col("media"))).otherwise(sampledHex))
+        .select(col("media_id"), col("n_bytes"),
+          least(n, lit(target.toLong)).as("resized_len"),
+          md5(encode(col("rhex"), "UTF-8")).as("resized_md5"))
+        .orderBy("media_id")
+    }),
+
     // multimodal: binary media column + typed metadata → partition-local
     // stub decode → per-source feature aggregate. Hash-checked: the stub
     // decode is deterministic byte-histogram moments, which the oracle
@@ -211,6 +234,21 @@ object SimilarityQueries {
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
         |ORDER BY a, b""".stripMargin,
+
+    // replays the strided downsample as hex-pair selection: byte index
+    // (i·n)//64 → hex offset ((i·n)//64)·2+1, same uppercase-hex md5
+    "x09_resize_ledger" ->
+      """WITH hx AS (
+        |  SELECT doc_id AS media_id, hex(encode(text)) AS h,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents WHERE octet_length(encode(text)) > 0)
+        |SELECT media_id, CAST(n AS BIGINT) AS n_bytes,
+        |       CAST(least(n, 64) AS BIGINT) AS resized_len,
+        |       md5(CASE WHEN n <= 64 THEN h
+        |                ELSE array_to_string(
+        |                  [substr(h, ((i * n) // 64) * 2 + 1, 2) FOR i IN range(0, 64)], '')
+        |           END) AS resized_md5
+        |FROM hx ORDER BY media_id""".stripMargin,
 
     // replays the frame ledger in hex-string space: byte offset 128k →
     // hex offset 256k+1, 32 bytes → 64 hex chars, same uppercase-hex md5

@@ -43,6 +43,26 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("x09's builtin strided downsample equals resizeStub on the real corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(50).collect()
+    val got = graft.SparkEntry.queries("x09_resize_ledger")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    docs.foreach { r =>
+      val bytes = r.getString(1).getBytes("UTF-8")
+      if (bytes.nonEmpty) {
+        val resized = Multimodal.resizeStub(bytes, 64)
+        val hex = resized.map(b => "%02X".format(b & 0xff)).mkString
+        assert(got(r.getLong(0)) == md5hex(hex),
+          s"doc ${r.getLong(0)} resize ledger mismatch")
+      }
+    }
+  }
+
   test("resizeStub: fixed output length, endpoints preserved-ish") {
     val bytes = Array.tabulate(1000)(i => (i % 251).toByte)
     val out = Multimodal.resizeStub(bytes, 64)
