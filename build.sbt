@@ -42,5 +42,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default on this 128 GiB box: local[32] is one JVM acting as 32
+  // executors, so unified memory is 0.6×heap shared by every concurrent
+  // task — at 8g the sf1 banded-LSH join measurably spilled mid-stream
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

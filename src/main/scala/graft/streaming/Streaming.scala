@@ -19,6 +19,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streaming {
 
+  /** Rows evicted by the watermark in the most recent [[runAvailableNow]]
+    * on this JVM (summed over its micro-batches' state operators).
+    * Observability only — never an input to any query's result.
+    */
+  @volatile var lastDroppedByWatermark: Long = 0L
+
   /** Streaming scan of the events table (ts adapted per physical type —
     * nanos-as-longs truncated to µs, native µs timestamps passed through —
     * exactly like [[graft.engine.Tables.events]]).
@@ -101,7 +107,8 @@ object Streaming {
   def runAvailableNow(df: DataFrame, name: String,
                       mode: OutputMode = OutputMode.Complete(),
                       statePartitions: Int = 8,
-                      noDataBatches: Boolean = true): DataFrame = {
+                      noDataBatches: Boolean = true,
+                      checkpointDir: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     // Complete: every batch is the full result → overwrite keeps the
     // last (= final) one. Append: new rows only → each batch lands in
@@ -117,8 +124,11 @@ object Streaming {
       else if (mode == OutputMode.Append()) false
       else throw new IllegalArgumentException(
         s"runAvailableNow folds batches into files; $mode is not foldable")
-    val checkpoint = java.nio.file.Files
-      .createTempDirectory(s"graft-stream-$name").toString
+    // caller-provided checkpoint = caller-owned lifecycle: state (incl.
+    // the persisted watermark) survives across sequential AvailableNow
+    // runs, which is how restart semantics are exercised (s06)
+    val checkpoint = checkpointDir.getOrElse(java.nio.file.Files
+      .createTempDirectory(s"graft-stream-$name").toString)
     val outDir = java.nio.file.Files
       .createTempDirectory(s"graft-stream-out-$name")
     releaseOnExit(outDir.toFile)
@@ -166,6 +176,12 @@ object Streaming {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        // observable late-data accounting: total rows evicted by the
+        // watermark across this run's micro-batches, for callers (s06;
+        // StreamingSpec) that assert the DROP side of the ledger — the
+        // drained frame only shows what survived
+        lastDroppedByWatermark = q.recentProgress
+          .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
       } finally {
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
@@ -173,7 +189,8 @@ object Streaming {
     } finally
       // released on failure too — a crashed stream must not park its
       // state store + WAL on disk for the session's lifetime
-      graft.engine.Workdirs.deleteRecursively(new java.io.File(checkpoint))
+      if (checkpointDir.isEmpty)
+        graft.engine.Workdirs.deleteRecursively(new java.io.File(checkpoint))
     // a drained-empty stream never fires a batch → no files: surface the
     // empty result with the input's schema instead of a read error.
     // (recursive: Append mode's results live in batch-<id> subdirs)

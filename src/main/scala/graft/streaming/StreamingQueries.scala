@@ -128,6 +128,65 @@ object StreamingQueries {
         .orderBy("user_id")
     }),
 
+    // LATE-DATA handling under a watermark that SURVIVES A RESTART: the
+    // events table is staged as two halves — everything outside the
+    // first event-hour, and the first-hour stragglers — and streamed as
+    // two sequential AvailableNow runs over ONE caller-owned checkpoint.
+    // Run 1 processes the on-time half and persists watermark =
+    // max(ts)−1h in the commit log; run 2 restores it and the straggler
+    // file arrives hopelessly late — every straggler is evicted
+    // (asserted via numRowsDroppedByWatermark in StreamingSpec; relying
+    // on two RUNS, not on rate-limit micro-batching, makes the batch
+    // boundary structural rather than a maxFilesPerTrigger behavior).
+    // The unioned Append output is exactly the hourly windows that both
+    // (a) lost their first-hour rows and (b) were finalized by the
+    // final watermark (window_end ≤ max−1h) — which the oracle replays.
+    "s06_late_data_audit" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val root = graft.engine.Workdirs
+        .materializeOnce("graft-s06-late", d) { root =>
+          graft.engine.Workdirs.delete(s, root)
+          val ev = graft.engine.Tables.events(s, d)
+            .select(col("event_id"), col("ts").cast("timestamp").as("ts"))
+          val minTs = ev.agg(min(col("ts"))).head.getTimestamp(0).toInstant
+          val cut = java.sql.Timestamp.from(minTs.plusSeconds(3600L))
+          ev.filter(col("ts") >= cut).coalesce(1).write.parquet(s"$root/ontime")
+          ev.filter(col("ts") < cut).coalesce(1).write.parquet(s"$root/late")
+        }
+      // fresh per-invocation stream dir + checkpoint (the staged halves
+      // are shared; the arrival ORDER is this invocation's state)
+      val conf = s.sessionState.newHadoopConf()
+      val srcDir = java.nio.file.Files.createTempDirectory("graft-s06-src")
+      val ck = java.nio.file.Files.createTempDirectory("graft-s06-ck")
+      def arrive(half: String, as: String): Unit = {
+        val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$half"))
+          .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+        org.apache.hadoop.fs.FileUtil.copy(fs, part, fs,
+          new org.apache.hadoop.fs.Path(s"$srcDir/$as"), false, true, conf): Unit
+      }
+      def run(): DataFrame = {
+        val schema = s.read.parquet(s"$root/ontime").schema
+        val stream = s.readStream.schema(schema).parquet(srcDir.toString)
+          .select(col("event_id"), col("ts").cast("timestamp").as("ts"))
+        val sink = s"graft_s06_sink_${counter.incrementAndGet()}"
+        Streaming.runAvailableNow(
+          stream.withWatermark("ts", "1 hour")
+            .groupBy(window(col("ts"), "1 hour"))
+            .agg(count(lit(1)).as("n_events"))
+            .select(col("window.start").as("hour"), col("n_events")),
+          sink, org.apache.spark.sql.streaming.OutputMode.Append(),
+          checkpointDir = Some(ck.toString))
+      }
+      try {
+        arrive("ontime", "part-00000.parquet")
+        val first = run()
+        arrive("late", "part-00001.parquet")
+        val second = run()
+        first.unionByName(second).orderBy("hour")
+      } finally () // srcDir/ck are tempdirs; small, cleared by the OS tmp sweep
+    }),
+
     // streaming file-source ingest of the landing zone (the incremental
     // pipeline's streaming twin): explode → readStream over the period
     // files (2 files per micro-batch) → foreachBatch anti-join append →
@@ -152,6 +211,17 @@ object StreamingQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    // SQL replay of the watermark: stragglers (first event-hour) are
+    // dropped; only windows finalized by the final watermark
+    // (window_end <= max(ts) - 1h) ever emit in Append mode
+    "s06_late_data_audit" ->
+      """WITH m AS (SELECT MIN(ts) AS mn, MAX(ts) AS mx FROM events)
+        |SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n_events
+        |FROM events, m
+        |WHERE ts >= mn + INTERVAL 1 HOUR
+        |  AND date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx - INTERVAL 1 HOUR
+        |GROUP BY 1 ORDER BY hour""".stripMargin,
+
     "s01_streaming_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n_events,
         |       ROUND(SUM(value), 2) AS total_value

@@ -26,6 +26,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.zip(batch).forall { case (a, b) => a == b })
   }
 
+  test("s06: every first-hour straggler is evicted by the watermark, and only those") {
+    val sfDir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    val ev = graft.engine.Tables.events(spark, sfDir)
+      .select(col("ts").cast("timestamp").as("ts"))
+    val minTs = ev.agg(min(col("ts"))).head.getTimestamp(0).toInstant
+    val late = ev.filter(
+      col("ts") < java.sql.Timestamp.from(minTs.plusSeconds(3600L)))
+    assert(late.count() > 0, "fixture must contain first-hour stragglers")
+    // the state store sees late rows AFTER map-side partial aggregation,
+    // so same-window stragglers combine into one dropped row; the staged
+    // straggler file is single-partition (coalesce(1)), so the dropped
+    // count is exactly the number of distinct straggler windows
+    val nLateWindows = late
+      .select(date_trunc("hour", col("ts"))).distinct().count()
+    // invoking the registry lambda RUNS the stream (runAvailableNow is
+    // eager) and records the metric before returning the drained frame
+    val out = graft.SparkEntry.queries("s06_late_data_audit")(spark, sfDir)
+      .collect()
+    assert(Streaming.lastDroppedByWatermark == nLateWindows,
+      s"expected the $nLateWindows straggler window group(s) dropped, " +
+        s"got ${Streaming.lastDroppedByWatermark}")
+    // and the drop is visible in the DATA: the first-hour window is gone
+    val firstHour = java.sql.Timestamp.from(
+      minTs.truncatedTo(java.time.temporal.ChronoUnit.HOURS))
+    assert(!out.exists(_.getTimestamp(0) == firstHour),
+      "the straggler-only first-hour window must not be emitted")
+  }
+
   test("streaming ingest: exactly-once, rerun no-op, crash replay converges") {
     import org.apache.spark.sql.functions.col
     val root = TestSpark.tmpDir("stream-ingest")
