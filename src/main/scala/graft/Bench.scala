@@ -211,7 +211,8 @@ object Bench {
       // blocks and the big late joins pay for the squeezed execution
       // memory in spills (measured: o57 45 s solo vs 106 s in-stream).
       // 2 min mirrors what any production long-session deployment sets.
-      .config("spark.cleaner.periodicGC.interval", "2min")
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "2min"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -54,8 +54,17 @@ object SimilarityQueries {
     // ≤ 15 of 64 — pigeonhole-complete, so the output equals the
     // oracle's all-pairs hamming filter. See Similarity.srpNearDup's
     // scale note for the band-width/radius tradeoff.
+    // total order via repartition(1)+sortWithinPartitions, NOT orderBy:
+    // AQE broadcast-promotes the band join, fusing scan→explode→join→
+    // filter→partial-distinct into ONE stage — a global orderBy's range
+    // sampling then EXECUTES that stage a second time to pick split
+    // points (measured at sf1: 83 s vs 41 s). The result is a bounded
+    // pair ledger (37k rows at sf1), so a single-partition sort of the
+    // OUTPUT is the correct plan; the heavy pipeline below keeps its
+    // full parallelism.
     "o57_srp_lsh_neardup" -> ((s, d) =>
-      Similarity.srpNearDup(embeddings(s, d)).orderBy("a", "b")),
+      Similarity.srpNearDup(embeddings(s, d))
+        .repartition(1).sortWithinPartitions("a", "b")),
 
     // SQ8 scalar-quantized ANN: int8 codes → quantized-cosine candidate
     // cut → exact rerank (hash-checked: codes and code-space scores are
