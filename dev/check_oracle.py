@@ -8,10 +8,23 @@ written by graft.Verify. Columns are sorted by name before comparison, like
 the driver; rows are compared both in emitted order and sorted.
 
 Usage: python3 dev/check_oracle.py <sfDir> <verifyOutDir>
+
+Type gate (round 15): the driver's hash is TYPE-SENSITIVE — DuckDB widens
+SUM(BIGINT) and '//'-over-HUGEINT to HUGEINT (int128), which pandas silently
+normalizes, so a value-only comparison passes where the driver fails (this is
+exactly how o74/o79 slipped through in round 14). We now DESCRIBE both the
+oracle SQL and the Spark parquet dump in DuckDB and fail on any column whose
+declared types differ, before comparing values.
 """
 import sys, os, json
 import duckdb
 import pandas as pd
+
+
+def described_types(con, sql):
+    """Column name -> DuckDB type string for a query, without running it."""
+    rows = con.execute(f"DESCRIBE ({sql})").fetchall()
+    return {r[0]: r[1] for r in rows}
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -41,6 +54,25 @@ def main(sf_dir, out_dir):
             duck_df = con.execute(oracle[name]).df()
         except Exception as e:
             print(f"[FAIL-sql ] {name}: {e}")
+            n_fail += 1
+            continue
+        # Type gate: DESCRIBE both sides in DuckDB; any declared-type drift
+        # (HUGEINT/DECIMAL widening above all) is a hard failure even when the
+        # pandas-normalized values match.
+        try:
+            o_types = described_types(con, oracle[name])
+            s_types = described_types(
+                con, f"SELECT * FROM read_parquet('{d}/*.parquet')")
+            type_drift = {
+                c: (s_types.get(c), o_types.get(c))
+                for c in sorted(set(o_types) | set(s_types))
+                if s_types.get(c) != o_types.get(c)}
+        except Exception as e:
+            type_drift = {"<describe-error>": (None, str(e))}
+        if type_drift:
+            print(f"[FAIL-type] {name}:")
+            for c, (st, ot) in type_drift.items():
+                print(f"    col {c}: spark-parquet={st} oracle={ot}")
             n_fail += 1
             continue
         s = spark_df[sorted(spark_df.columns)]

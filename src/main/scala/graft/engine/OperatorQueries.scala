@@ -524,7 +524,7 @@ object OperatorQueries {
         |       COUNT(t1) AS n_view,
         |       COUNT(t2) AS n_click_after_view,
         |       COUNT(t3) AS n_converted,
-        |       COALESCE(SUM(t3 - t1), 0) AS total_view_to_purchase_us
+        |       CAST(COALESCE(SUM(t3 - t1), 0) AS BIGINT) AS total_view_to_purchase_us
         |FROM s3""".stripMargin,
 
     "o01_anti_join" ->

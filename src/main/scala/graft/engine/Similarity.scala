@@ -102,43 +102,24 @@ object Similarity {
       if (java.lang.Long.parseLong(hex.substring(24, 32), 16) % 2 == 0) 1.0 else -1.0
     }
 
-  /** Signed-random-projection (SRP / SimHash-for-vectors) near-dup over
-    * the embedding column: `planes` deterministic ±1 hyperplanes give
-    * each vector a `planes`-bit angular signature (bit p = sign of the
-    * projection on plane p; E[hamming] = planes·θ/π), banded LSH
-    * generates candidates, and pairs at signature hamming ≤ t are
-    * emitted. Completeness is o21's pigeonhole argument verbatim: with
-    * t < bands a qualifying pair dirties at most t bands and must share
-    * one clean band, so the banded join misses nothing — the output is
-    * EXACTLY "all pairs at hamming ≤ t", which is what the oracle
-    * recomputes as an all-pairs filter.
+  /** The SRP (signed-random-projection / SimHash-for-vectors) signature
+    * kernel: one corpus pass → (vec_id, sig), where `sig` packs
+    * `planes` projection-sign bits into one long (bit p = sign of the
+    * projection on deterministic ±1 hyperplane p; for a pair at angle θ,
+    * E[hamming] = planes·θ/π). All SRP consumers ([[srpNearDup]],
+    * [[srpClusteredNearDup]]) share this; the 8-byte signature — not
+    * the vector — is what rides any downstream shuffle.
     *
     * Cross-engine exactness is engineered, not hoped for: projections
     * are computed on QUANTIZED vectors (`round(x·1000)` — integer-valued
     * doubles), so every projection is an exact integer sum whose sign
     * cannot be flipped by summation order or a last-ulp libm
     * difference on either engine.
-    *
-    * Scale posture, stated honestly: band width is the pruning dial,
-    * and it is bounded by planes/bands with bands > t. This corpus's
-    * CLOSEST embedding pairs sit at ~34° (hamming 12/64), so the
-    * registry contract must use t=15 with 16×4-bit bands — a 4-bit
-    * band passes 1/16 of random pairs, weak pruning, inherent to
-    * asking for pairs at a wide angular radius. A production near-dup
-    * radius (θ ≤ 15°, t ≤ 7/64) uses 8×8-bit bands and passes ~3% of
-    * random pairs per band set; tighter still with more planes. The
-    * cluster-scoped exact join ([[clusteredNearDup]]) remains the
-    * wide-radius scale path; SRP is the signature-space alternative
-    * whose scan/shuffle payload is 8 bytes per doc instead of the
-    * vector.
     */
-  def srpNearDup(emb: DataFrame, planes: Int = 64, bands: Int = 16,
-                 t: Int = 15, quantScale: Int = 1000): DataFrame = {
-    require(planes % bands == 0, "planes must divide into bands")
-    require(t < bands, s"pigeonhole completeness needs t < bands, got t=$t bands=$bands")
+  def srpSignatures(emb: DataFrame, planes: Int = 64,
+                    quantScale: Int = 1000): DataFrame = {
     require(planes <= 64, "signature is packed into one long")
-    val bandBits = planes / bands
-    val dims = emb.select(size(col("embedding"))).head.getInt(0)
+    val dims = emb.select(size(col("embedding"))).head().getInt(0)
     val qv = transform(VectorOps.asDouble(col("embedding")),
       x => round(x * quantScale))
     val sigBits = (0 until planes).map { p =>
@@ -146,10 +127,35 @@ object Similarity {
         .dot(col("qv"), typedlit(srpPlane(p, dims))) > 0, lit(1L << p))
         .otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
-    val sigs = Spread(emb).withColumn("qv", qv)
+    Spread(emb).withColumn("qv", qv)
       .select(col("vec_id"), sigBits.as("sig"))
       .repartition(col("vec_id"))
-    val banded = sigs
+  }
+
+  /** Flat-banded SRP near-dup: banded LSH over [[srpSignatures]]
+    * generates candidates, and pairs at signature hamming ≤ t are
+    * emitted. Completeness is o21's pigeonhole argument verbatim: with
+    * t < bands a qualifying pair dirties at most t bands and must share
+    * one clean band, so the banded join misses nothing — the output is
+    * EXACTLY "all pairs at hamming ≤ t".
+    *
+    * Scale posture, stated honestly: band width is the pruning dial,
+    * and it is bounded by planes/bands with bands > t. This corpus's
+    * CLOSEST embedding pairs sit at ~34° (hamming 12/64), so asking for
+    * them needs t=15 with 16×4-bit bands — a 4-bit band passes 1/16 of
+    * random pairs, weak pruning, inherent to a wide angular radius;
+    * the flat band join is then O(n²) candidates. That is why the
+    * REGISTRY runs [[srpClusteredNearDup]] (same signatures, candidates
+    * scoped to k-means blocks) — this flat variant remains correct and
+    * is the right call only at a tight radius (t ≤ 7/64 with 8×8-bit
+    * bands, ~3% pass rate) or a bounded corpus.
+    */
+  def srpNearDup(emb: DataFrame, planes: Int = 64, bands: Int = 16,
+                 t: Int = 15, quantScale: Int = 1000): DataFrame = {
+    require(planes % bands == 0, "planes must divide into bands")
+    require(t < bands, s"pigeonhole completeness needs t < bands, got t=$t bands=$bands")
+    val bandBits = planes / bands
+    val banded = srpSignatures(emb, planes, quantScale)
       .withColumn("b", explode(sequence(lit(0), lit(bands - 1))))
       .withColumn("bv",
         expr(s"shiftright(sig, b * $bandBits) & ${(1L << bandBits) - 1}"))
@@ -167,6 +173,57 @@ object Similarity {
     A.join(B, Seq("b", "bv"))
       .filter(col("a") < col("b2"))
       .select(col("a"), col("b2").as("b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= t)
+      .distinct()
+  }
+
+  /** Cluster-scoped SRP near-dup: [[srpSignatures]] banding composed
+    * with the [[kmeansAssign]] coarse blocks — the production shape for
+    * a WIDE angular radius, where plain banding cannot prune (a
+    * qualifying pair at t=15/64 dirties up to 15 of 16 4-bit bands, so
+    * completeness forces narrow bands that pass 1/16 of ALL pairs and
+    * the band join degenerates to O(n²) candidates; measured 39 s at
+    * sf1, the registry's one scale-killer through round 14).
+    *
+    * Semantics (the contract the oracle replays exactly): emit pairs
+    * (a, b, cluster, hamming) with BOTH endpoints in the same k-means
+    * block and signature hamming ≤ t. Within a block, banding is still
+    * pigeonhole-complete (t < bands), so the output is exactly "all
+    * same-block pairs at hamming ≤ t" — recall against the global pair
+    * set is the block assignment's job, the o42/IVF trade stated there.
+    *
+    * Scale shape: candidates are generated per (cluster, band, value)
+    * bucket, so join work is Σ m_c²/2^bandBits over block sizes m_c —
+    * k grows with the corpus (k ≈ n/target_block) and per-block work
+    * stays bounded; no stage touches the global pair set. Signatures
+    * (8 bytes) and block ids (4 bytes) are the only per-vector payload
+    * on the wide exchanges; vectors are read once each by the k-means
+    * rounds and the signature pass and never shuffle.
+    */
+  def srpClusteredNearDup(emb: DataFrame, k: Int = 8, iterations: Int = 3,
+                          planes: Int = 64, bands: Int = 16, t: Int = 15,
+                          quantScale: Int = 1000): DataFrame = {
+    require(planes % bands == 0, "planes must divide into bands")
+    require(t < bands, s"pigeonhole completeness needs t < bands, got t=$t bands=$bands")
+    val bandBits = planes / bands
+    val blocks = kmeansAssign(emb, k, iterations, quantScale)
+      .select(col("vec_id"), col("cluster"))
+    val banded = srpSignatures(emb, planes, quantScale)
+      .join(blocks, "vec_id") // both sides pre-partitioned on vec_id
+      .withColumn("b", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("bv",
+        expr(s"shiftright(sig, b * $bandBits) & ${(1L << bandBits) - 1}"))
+    val A = banded.select(col("cluster"), col("b"), col("bv"),
+      col("vec_id").as("a"), col("sig").as("sa"))
+    val B = banded.select(col("cluster"), col("b"), col("bv"),
+      col("vec_id").as("b2"), col("sig").as("sb"))
+    // as in srpNearDup: hamming filters STREAMING out of the band join,
+    // so the pair-distinct shuffle sees ~the true pair set, not the
+    // candidate set
+    A.join(B, Seq("cluster", "b", "bv"))
+      .filter(col("a") < col("b2"))
+      .select(col("a"), col("b2").as("b"), col("cluster"),
         bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
       .filter(col("hamming") <= t)
       .distinct()

@@ -52,18 +52,23 @@ object SimilarityQueries {
     // signatures over QUANTIZED embeddings (integer-exact projections on
     // both engines), banded LSH candidates, pairs at signature hamming
     // ≤ 15 of 64 — pigeonhole-complete, so the output equals the
-    // oracle's all-pairs hamming filter. See Similarity.srpNearDup's
-    // scale note for the band-width/radius tradeoff.
+    // cluster-scoped SRP near-dup (round 15, replacing the flat-banded
+    // o57_srp_lsh_neardup): at the corpus's wide radius (t=15/64) flat
+    // banding passes ~1/16 of ALL pairs per band — O(n²) candidates,
+    // 39 s at sf1, the registry's one scale-killer. The production
+    // shape composes the SRP signatures with the o72 k-means blocks:
+    // candidates only within (cluster, band, value) buckets, exact
+    // hamming verify streaming out of the join. See
+    // Similarity.srpClusteredNearDup for the recall contract.
     // total order via repartition(1)+sortWithinPartitions, NOT orderBy:
     // AQE broadcast-promotes the band join, fusing scan→explode→join→
     // filter→partial-distinct into ONE stage — a global orderBy's range
     // sampling then EXECUTES that stage a second time to pick split
     // points (measured at sf1: 83 s vs 41 s). The result is a bounded
-    // pair ledger (37k rows at sf1), so a single-partition sort of the
-    // OUTPUT is the correct plan; the heavy pipeline below keeps its
-    // full parallelism.
-    "o57_srp_lsh_neardup" -> ((s, d) =>
-      Similarity.srpNearDup(embeddings(s, d))
+    // pair ledger, so a single-partition sort of the OUTPUT is the
+    // correct plan; the heavy pipeline below keeps its parallelism.
+    "o57_srp_blocked_neardup" -> ((s, d) =>
+      Similarity.srpClusteredNearDup(embeddings(s, d))
         .repartition(1).sortWithinPartitions("a", "b")),
 
     // SQ8 scalar-quantized ANN: int8 codes → quantized-cosine candidate
@@ -209,31 +214,60 @@ object SimilarityQueries {
          |  FROM df) WHERE rn = 1
          |ORDER BY vec_id""".stripMargin,
 
-    // all-pairs hamming over the same deterministic SRP signatures the
-    // Spark side computes (64 planes fixed to the testdata's 64 dims;
-    // integer-exact quantized projections, UBIGINT bit packing)
-    "o57_srp_lsh_neardup" ->
-      """WITH q AS (
-        |  SELECT vec_id, [round(CAST(x AS DOUBLE) * 1000) FOR x IN embedding] AS qv
-        |  FROM embeddings),
-        |pl AS (
-        |  SELECT p.range AS p, j.range AS j,
-        |         CASE WHEN CAST(('0x' || substr(md5(p.range || '_' || j.range), 25, 8)) AS BIGINT) % 2 = 0
-        |              THEN 1.0 ELSE -1.0 END AS s
-        |  FROM range(64) p, range(64) j),
-        |proj AS (
-        |  SELECT q.vec_id, pl.p, SUM(pl.s * q.qv[pl.j + 1]) AS dp
-        |  FROM q CROSS JOIN pl GROUP BY 1, 2),
-        |sig AS (
-        |  SELECT vec_id,
-        |         bit_or(CASE WHEN dp > 0 THEN (1::UBIGINT << CAST(p AS INTEGER))
-        |                     ELSE 0::UBIGINT END) AS sig
-        |  FROM proj GROUP BY vec_id)
-        |SELECT a.vec_id AS a, b.vec_id AS b,
-        |       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
-        |FROM sig a JOIN sig b ON a.vec_id < b.vec_id
-        |WHERE bit_count(xor(a.sig, b.sig)) <= 15
-        |ORDER BY a, b""".stripMargin,
+    // cluster-scoped near-dup: replays the o72 k-means assignment
+    // round-for-round (same shifted quantization / exact integer
+    // distances / argmin tie-break / floor-div update), the same
+    // deterministic SRP signatures as before (integer-exact quantized
+    // projections, UBIGINT bit packing), then all-pairs hamming ≤ 15
+    // RESTRICTED to same-cluster pairs — exactly the banded join's
+    // contract (within-block banding is pigeonhole-complete)
+    "o57_srp_blocked_neardup" ->
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |         [round(CAST(x AS DOUBLE) * 1000) + 1000 FOR x IN embedding] AS qv
+         |  FROM embeddings),
+         |qe AS (
+         |  SELECT vec_id, unnest(generate_series(1, len(qv))) AS i,
+         |         unnest(qv) AS val
+         |  FROM q),
+         |c0 AS (
+         |  SELECT CAST(vec_id AS INTEGER) AS cluster, i, val AS cv
+         |  FROM qe WHERE vec_id < 8),
+         |${kmRound("c0", 1)},
+         |${kmRound("c1", 2)},
+         |${kmRound("c2", 3)},
+         |df AS (
+         |  SELECT qe.vec_id, c.cluster,
+         |         SUM((qe.val - c.cv) * (qe.val - c.cv)) AS d
+         |  FROM qe JOIN c3 c USING (i) GROUP BY 1, 2),
+         |asg AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT vec_id, cluster,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+         |    FROM df) WHERE rn = 1),
+         |qs AS (
+         |  SELECT vec_id, [round(CAST(x AS DOUBLE) * 1000) FOR x IN embedding] AS sv
+         |  FROM embeddings),
+         |pl AS (
+         |  SELECT p.range AS p, j.range AS j,
+         |         CASE WHEN CAST(('0x' || substr(md5(p.range || '_' || j.range), 25, 8)) AS BIGINT) % 2 = 0
+         |              THEN 1.0 ELSE -1.0 END AS s
+         |  FROM range(64) p, range(64) j),
+         |proj AS (
+         |  SELECT qs.vec_id, pl.p, SUM(pl.s * qs.sv[pl.j + 1]) AS dp
+         |  FROM qs CROSS JOIN pl GROUP BY 1, 2),
+         |sig AS (
+         |  SELECT vec_id,
+         |         bit_or(CASE WHEN dp > 0 THEN (1::UBIGINT << CAST(p AS INTEGER))
+         |                     ELSE 0::UBIGINT END) AS sig
+         |  FROM proj GROUP BY vec_id)
+         |SELECT a.vec_id AS a, b.vec_id AS b, aa.cluster,
+         |       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |FROM sig a JOIN sig b ON a.vec_id < b.vec_id
+         |JOIN asg aa ON aa.vec_id = a.vec_id
+         |JOIN asg ab ON ab.vec_id = b.vec_id AND ab.cluster = aa.cluster
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 15
+         |ORDER BY a, b""".stripMargin,
     "o42_clustered_neardup" ->
       """WITH e AS (
         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v

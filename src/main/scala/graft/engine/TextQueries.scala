@@ -41,10 +41,11 @@ object TextQueries {
       // parallel 100 TB corpus must not pay a full-shuffle for it
       Spread(documents(s, d)).select(
         col("doc_id"),
-        size(toks).as("n_tokens"),
+        size(toks).cast("long").as("n_tokens"),
         size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
-          .as("n_bpeish"),
-        size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0))).as("n_punct"),
+          .cast("long").as("n_bpeish"),
+        size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0))).cast("long")
+          .as("n_punct"),
         round(stopRatio, 4).as("stopword_ratio"),
         when(size(toks) >= 50 && stopRatio.between(0.02, 0.3), "good")
           .when(size(toks) >= 20, "fair")
@@ -526,9 +527,10 @@ object TextQueries {
         |         COALESCE(SUM(weight) OVER (ORDER BY doc_id
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
         |  FROM w),
-        |tot AS (SELECT SUM(weight) AS total FROM w),
+        |tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS total FROM w),
         |pr AS (
-        |  SELECT j.range AS j, (tot.total * (2 * j.range + 1)) // 40 AS target
+        |  SELECT j.range AS j,
+        |         CAST((tot.total * (2 * j.range + 1)) // 40 AS BIGINT) AS target
         |  FROM range(20) j, tot)
         |SELECT CAST(pr.j AS INTEGER) AS j, pr.target, c.doc_id, c.weight
         |FROM pr JOIN c ON c.cb <= pr.target AND pr.target < c.cb + c.weight

@@ -157,4 +157,32 @@ class SimilaritySpec extends AnyFunSuite {
       s"banded at t=15 must equal the t=63 run filtered to 15; " +
         s"missing=${(expected.keySet -- got.keySet).size} spurious=${(got.keySet -- expected.keySet).size}")
   }
+
+  test("srpClusteredNearDup equals brute-force same-block hamming on the real corpus") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val got = Similarity.srpClusteredNearDup(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getInt(2), r.getLong(3)))
+      .toMap
+    // brute force from the pipeline's own building blocks: signatures +
+    // k-means assignment, all same-cluster pairs at hamming <= 15 —
+    // proves the within-block banding loses nothing (pigeonhole), which
+    // is the same claim the DuckDB oracle checks cross-engine
+    val sigs = Similarity.srpSignatures(emb)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val blocks = Similarity.kmeansAssign(emb, k = 8, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ids = sigs.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids.indices.iterator
+      j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      if blocks(a) == blocks(b)
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)).toLong
+      if h <= 15
+    } yield (a, b) -> (blocks(a), h)).toMap
+    assert(got.nonEmpty, "cluster-scoped near-dup must find pairs on the corpus")
+    assert(got == expected,
+      s"within-block banding must equal brute-force same-block hamming; " +
+        s"missing=${(expected.keySet -- got.keySet).size} spurious=${(got.keySet -- expected.keySet).size}")
+  }
 }
