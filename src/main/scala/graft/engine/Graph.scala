@@ -26,13 +26,17 @@ import org.apache.spark.sql.functions._
   * == Plan shape at scale ==
   *
   * Each of the k iterations is one co-partitioned join (edges ⋈ ranks on
-  * src) + one map-side-combined aggregation on dst. The degree-annotated
-  * edge frame is pinned behind a single `repartition(src)` Exchange that
-  * every iteration re-reads (ReusedExchange — the edge list is shuffled
-  * ONCE, not k times); rank frames are reducer outputs already
-  * partitioned on the join key. No driver-side state, no collect: k is
-  * the only sequential dimension, exactly like the reference iteration
-  * structure of Pregel-style engines.
+  * src) + one map-side-combined aggregation on dst, run as its own
+  * eagerly-checkpointed job: the rank frame (one row per node) is
+  * materialized per round so round i's plan never replays rounds
+  * 1..i-1's joins — O(k) join work instead of the O(k²) a lazily
+  * unrolled plan re-derives, and the optimizer plans one shallow join
+  * per round instead of a k-deep tree. The degree-annotated edge frame
+  * is materialized ONCE (`repartition(src)` + eager localCheckpoint),
+  * so the edge list is shuffled once, not k times, and every round's
+  * job reads the same src-partitioned blocks. No driver-side state, no
+  * collect: k is the only sequential dimension, exactly like the
+  * reference iteration structure of Pregel-style engines.
   */
 object Graph {
 
@@ -53,18 +57,40 @@ object Graph {
     require(iterations >= 1, "iterations must be >= 1")
     val src: Column = col(srcCol)
     val deg = edges.groupBy(src.as("src")).agg(count(lit(1)).as("deg"))
-    // the one Exchange every iteration re-reads
+    // materialized ONCE (eager localCheckpoint, partitioned on src):
+    // every round's join job reads these blocks instead of re-shuffling
+    // the edge list — the cross-JOB equivalent of the ReusedExchange the
+    // pre-round-15 single-plan shape relied on, now that each round is
+    // its own checkpointed job (see below)
     val edgesDeg = edges.select(src.as("src"), col(dstCol).as("dst"))
       .join(deg, "src")
       .repartition(col("src"))
+      .localCheckpoint(true)
     val teleport = (100L - dampingPct) * unit / 100L
-    val r0 = deg.select(col("src").as("node"), lit(unit).as("rank"))
-    (1 to iterations).foldLeft(r0) { (rk, _) =>
-      edgesDeg.join(rk, edgesDeg("src") === rk("node"))
+    // eager localCheckpoint per round (the kmeansAssign discipline):
+    // without it round i's plan replays rounds 1..i-1 — O(k²) joins
+    // instead of O(k), and the optimizer re-plans a k-deep join tree
+    // every round (measured at sf1/o70: 14.0 s → the checkpoint cuts
+    // the re-derivation; the rank frame is one row per node, far
+    // smaller than the edge list, so materializing it is cheap).
+    // Superseded rounds' blocks are released eagerly; the final round's
+    // ≤|V|-row residue is freed by the caller's terminal action + GC —
+    // intentional, same trade as kmeansAssign's final centroid frame.
+    var rk = deg.select(col("src").as("node"), lit(unit).as("rank"))
+    var prev: DataFrame = null
+    for (_ <- 1 to iterations) {
+      rk = edgesDeg.join(rk, edgesDeg("src") === rk("node"))
         .select(col("dst").as("node"), expr("rank div deg").as("c"))
         .groupBy(col("node"))
         .agg((lit(teleport) +
           expr(s"($dampingPct * sum(c)) div 100")).as("rank"))
+        .localCheckpoint(true)
+      if (prev != null) prev.unpersist()
+      prev = rk
     }
+    // the last round is materialized, so the edge blocks are dead —
+    // release them now, not at GC time
+    edgesDeg.unpersist()
+    rk
   }
 }

@@ -38,6 +38,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "o65_unigram_surprisal", // 1-row corpus-token-total scalar broadcast
     "o68_bm25_topk", // 1-row (N, avgdl) corpus-stats broadcast
     "o72_kmeans", // ≤k-row centroid set broadcast each Lloyd round
+    "o57_srp_blocked_neardup", // same ≤k-row centroid broadcast (embeds kmeansAssign)
     "o79_pps_sample") // k-row probe-point frame broadcast into the containment join
 
   private lazy val plans: Map[String, String] =
@@ -241,17 +242,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected order_month in PartitionFilters, got:\n$plan")
   }
 
-  test("o70's five PageRank rounds shuffle the edge list once (ReusedExchange)") {
-    // exchange reuse is an AQE runtime decision — assert on the FINAL
-    // adaptive plan after execution (PlanDiff.flatten recurses through
-    // query stages), not the static pre-AQE string
+  test("o70's PageRank rounds are checkpointed: the final plan replays no join chain") {
+    // round 15 shape: each round is an eagerly-checkpointed job (rank
+    // frame = one row per node) and the edge list is materialized once,
+    // so the registry query's OWN plan must be shallow — a scan of the
+    // last round's checkpoint RDD plus select/top-k, with the 5 rounds'
+    // joins absent (they already ran). A lazily unrolled plan would
+    // re-derive a k-deep join tree here; its reappearance is the
+    // regression this guards against.
     val qe = SparkEntry.queries("o70_pagerank")(spark, sf).queryExecution
     qe.toRdd.count(): Unit
     val nodes = PlanDiff.flatten(qe.executedPlan)
-    val reused = nodes.count(
-      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ReusedExchangeExec])
-    assert(reused >= 4,
-      s"expected the edge/degree exchanges to be reused across the 5 rounds, got $reused")
+    val joins = nodes.count(n =>
+      n.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec])
+    assert(joins == 0,
+      s"expected the checkpointed final plan to contain no joins, got $joins:\n${qe.executedPlan}")
+    assert(nodes.exists(_.nodeName.contains("ExistingRDD")),
+      s"expected a scan of the checkpointed rank RDD:\n${qe.executedPlan}")
   }
 
   test("o74's three funnel-stage windows and the user collapse share one Exchange") {
