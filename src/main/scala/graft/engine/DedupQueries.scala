@@ -57,14 +57,20 @@ object DedupQueries {
         documents(s, d)).orderBy("doc_id")),
 
     // normalization-equivalence dedup over the corpus PLUS a derived
-    // adversarial copy of itself (doc_id+100000, text uppercased,
-    // space-padded, punctuation-suffixed): every original must collapse
-    // with its disguised twin — the copies exercise the collapse path
-    // for real on a corpus whose raw texts happen to be all-distinct.
+    // adversarial copy of itself (text uppercased, space-padded,
+    // punctuation-suffixed): every original must collapse with its
+    // disguised twin — the copies exercise the collapse path for real
+    // on a corpus whose raw texts happen to be all-distinct. Twin ids
+    // are offset by max(doc_id)+1, DERIVED from the data (a fixed
+    // constant would silently collide with real ids once the corpus
+    // outgrows it); the oracle computes the same scalar in SQL. The
+    // 1-row max() action is bounded metadata, same class as the
+    // percentile offsets.
     "o78_normalized_dedup" -> ((s, d) => {
       val docs = documents(s, d).select(col("doc_id"), col("text"))
+      val off = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
       val disguised = docs.select(
-        (col("doc_id") + 100000).as("doc_id"),
+        (col("doc_id") + off).as("doc_id"),
         concat(lit("  "), upper(col("text")), lit("!!")).as("text"))
       Dedup.normalizedDedup(docs.unionByName(disguised)).orderBy("doc_id")
     }),
@@ -106,10 +112,11 @@ object DedupQueries {
     // same normalization chain with DuckDB's explicit 'g' flag (Spark
     // regexp_replace is global by default; DuckDB's is first-match)
     "o78_normalized_dedup" ->
-      """WITH aug AS (
+      """WITH off AS (SELECT MAX(doc_id) + 1 AS o FROM documents),
+        |aug AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 100000, '  ' || upper(text) || '!!' FROM documents),
+        |  SELECT doc_id + off.o, '  ' || upper(text) || '!!' FROM documents, off),
         |n AS (
         |  SELECT doc_id,
         |         md5(trim(regexp_replace(regexp_replace(lower(text),

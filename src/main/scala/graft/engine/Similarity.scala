@@ -254,6 +254,11 @@ object Similarity {
     * iteration the corpus is scanned once and shuffles only (cluster,
     * pos, partial-sum) triples, map-side combined. The driver holds no
     * vectors (centroid rebuild is the [[centroids]] explode/agg shape).
+    * Superseded rounds' checkpoint blocks are released eagerly; the
+    * FINAL round's ≤k-row centroid frame stays in the block manager
+    * until GC — intentional: the returned assignment is lazy and reads
+    * it, so the callee cannot release it, and k rows is noise next to
+    * any consumer's own working set.
     */
   def kmeansAssign(emb: DataFrame, k: Int = 8, iterations: Int = 3,
                    quantScale: Int = 1000): DataFrame = {

@@ -19,11 +19,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streaming {
 
-  /** Rows evicted by the watermark in the most recent [[runAvailableNow]]
-    * on this JVM (summed over its micro-batches' state operators).
+  /** Rows evicted by the watermark, keyed by query (sink) name — one
+    * entry per [[runAvailableNow]] run, written when the run terminates.
+    * Keyed (not a single "last run" global) so concurrent or
+    * interleaved streams cannot clobber each other's figure; callers
+    * snapshot the ledger before a run and diff after. Entries are a few
+    * bytes each and names carry a per-JVM counter, so the ledger stays
+    * bounded by the number of stream runs in the session.
     * Observability only — never an input to any query's result.
     */
-  @volatile var lastDroppedByWatermark: Long = 0L
+  private val watermarkDrops =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  /** Immutable snapshot of the per-run watermark-eviction ledger. */
+  def watermarkDropLedger: Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    watermarkDrops.asScala.toMap
+  }
 
   /** Streaming scan of the events table (ts adapted per physical type —
     * nanos-as-longs truncated to µs, native µs timestamps passed through —
@@ -180,8 +192,8 @@ object Streaming {
         // watermark across this run's micro-batches, for callers (s06;
         // StreamingSpec) that assert the DROP side of the ledger — the
         // drained frame only shows what survived
-        lastDroppedByWatermark = q.recentProgress
-          .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+        watermarkDrops.put(name, q.recentProgress
+          .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum): Unit
       } finally {
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)

@@ -184,7 +184,16 @@ object StreamingQueries {
         arrive("late", "part-00001.parquet")
         val second = run()
         first.unionByName(second).orderBy("hour")
-      } finally () // srcDir/ck are tempdirs; small, cleared by the OS tmp sweep
+      } finally {
+        // the drained frames read only runAvailableNow's sink dirs, so
+        // the checkpoint (state store + WAL) and the staged arrival dir
+        // are dead once both runs terminate — delete them NOW, failure
+        // included (runAvailableNow's own discipline for the temp
+        // checkpoints it creates), instead of accumulating streaming
+        // state across repeated bench/verify invocations
+        graft.engine.Workdirs.deleteRecursively(ck.toFile)
+        graft.engine.Workdirs.deleteRecursively(srcDir.toFile)
+      }
     }),
 
     // streaming file-source ingest of the landing zone (the incremental

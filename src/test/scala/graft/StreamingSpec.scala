@@ -42,12 +42,16 @@ class StreamingSpec extends AnyFunSuite {
     val nLateWindows = late
       .select(date_trunc("hour", col("ts"))).distinct().count()
     // invoking the registry lambda RUNS the stream (runAvailableNow is
-    // eager) and records the metric before returning the drained frame
+    // eager) and records the metric before returning the drained frame;
+    // the ledger is keyed per run, so diff against a pre-run snapshot —
+    // immune to any other stream's entries
+    val before = Streaming.watermarkDropLedger.keySet
     val out = graft.SparkEntry.queries("s06_late_data_audit")(spark, sfDir)
       .collect()
-    assert(Streaming.lastDroppedByWatermark == nLateWindows,
+    val dropped = (Streaming.watermarkDropLedger -- before).values.sum
+    assert(dropped == nLateWindows,
       s"expected the $nLateWindows straggler window group(s) dropped, " +
-        s"got ${Streaming.lastDroppedByWatermark}")
+        s"got $dropped")
     // and the drop is visible in the DATA: the first-hour window is gone
     val firstHour = java.sql.Timestamp.from(
       minTs.truncatedTo(java.time.temporal.ChronoUnit.HOURS))
