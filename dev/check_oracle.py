@@ -7,7 +7,13 @@ the sfDir parquet tables in DuckDB and compares with the Spark parquet dump
 written by graft.Verify. Columns are sorted by name before comparison, like
 the driver; rows are compared both in emitted order and sorted.
 
-Usage: python3 dev/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 dev/check_oracle.py <sfDir> <verifyOutDir> [--timeout SECS] [--json OUT]
+
+--timeout: per-oracle wall-clock budget; a DuckDB run past it is interrupted
+and recorded as `timeout` (skipped, not failed) — for sf1 sweeps where the
+handful of all-pairs oracles are infeasible in DuckDB but everything else is
+checkable. --json: also write per-query results as JSON (for the
+CORRECTNESS_sf1_r{N} artifact).
 
 Type gate (round 15): the driver's hash is TYPE-SENSITIVE — DuckDB widens
 SUM(BIGINT) and '//'-over-HUGEINT to HUGEINT (int128), which pandas silently
@@ -30,7 +36,20 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def main(sf_dir, out_dir):
+def run_with_timeout(con, sql, timeout):
+    """Execute sql; on a timeout interrupt the connection and raise."""
+    if not timeout:
+        return con.execute(sql).df()
+    import threading
+    timer = threading.Timer(timeout, con.interrupt)
+    timer.start()
+    try:
+        return con.execute(sql).df()
+    finally:
+        timer.cancel()
+
+
+def main(sf_dir, out_dir, timeout=None, json_out=None):
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -40,7 +59,8 @@ def main(sf_dir, out_dir):
             continue
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
-    n_pass = n_fail = 0
+    results = {}
+    n_pass = n_fail = n_timeout = 0
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
@@ -49,11 +69,29 @@ def main(sf_dir, out_dir):
             f"SELECT * FROM read_parquet('{d}/*.parquet')").df()
         if name not in oracle:
             print(f"[rows-only] {name}: {len(spark_df)} rows")
+            results[name] = {"rows": len(spark_df), "method": "rows_only",
+                             "match": None}
             continue
         try:
-            duck_df = con.execute(oracle[name]).df()
+            duck_df = run_with_timeout(con, oracle[name], timeout)
+        except duckdb.InterruptException:
+            print(f"[timeout  ] {name}: oracle exceeded {timeout}s in DuckDB "
+                  f"(skipped, not failed)")
+            results[name] = {"rows": len(spark_df), "method": "duckdb",
+                             "match": None, "timeout_s": timeout}
+            n_timeout += 1
+            continue
         except Exception as e:
+            if "INTERRUPT" in str(e).upper():
+                print(f"[timeout  ] {name}: oracle exceeded {timeout}s in "
+                      f"DuckDB (skipped, not failed)")
+                results[name] = {"rows": len(spark_df), "method": "duckdb",
+                                 "match": None, "timeout_s": timeout}
+                n_timeout += 1
+                continue
             print(f"[FAIL-sql ] {name}: {e}")
+            results[name] = {"rows": len(spark_df), "method": "duckdb",
+                             "match": False, "error": str(e)[:200]}
             n_fail += 1
             continue
         # Type gate: DESCRIBE both sides in DuckDB; any declared-type drift
@@ -73,6 +111,10 @@ def main(sf_dir, out_dir):
             print(f"[FAIL-type] {name}:")
             for c, (st, ot) in type_drift.items():
                 print(f"    col {c}: spark-parquet={st} oracle={ot}")
+            results[name] = {"rows": len(spark_df), "method": "duckdb",
+                             "match": False,
+                             "type_drift": {c: list(v) for c, v
+                                            in type_drift.items()}}
             n_fail += 1
             continue
         s = spark_df[sorted(spark_df.columns)]
@@ -97,6 +139,8 @@ def main(sf_dir, out_dir):
                 ok_sorted = True
             except Exception:
                 pass
+        results[name] = {"rows": len(spark_df), "method": "duckdb",
+                         "match": bool(ok_vals)}
         if ok_vals:
             print(f"[PASS     ] {name}: {s.shape}")
             n_pass += 1
@@ -115,9 +159,23 @@ def main(sf_dir, out_dir):
             else:
                 print(f"    spark cols={list(s.columns)}\n    duck  cols={list(o.columns)}")
             n_fail += 1
-    print(f"== {n_pass} pass, {n_fail} fail ==")
+    print(f"== {n_pass} pass, {n_fail} fail, {n_timeout} timeout ==")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=1)
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    argv = sys.argv[1:]
+    timeout = None
+    json_out = None
+    if "--timeout" in argv:
+        i = argv.index("--timeout")
+        timeout = float(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sys.exit(main(argv[0], argv[1], timeout, json_out))
