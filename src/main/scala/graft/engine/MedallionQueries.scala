@@ -25,10 +25,16 @@ object MedallionQueries {
     "m01_silver_orders" -> ((s, d) =>
       Gold.silverOrders(s, d).orderBy("o_orderkey")),
 
-    // P1/P3/P4/P7: casts to double, null-key filter, price>=0
+    // P1/P3/P4/P7: casts to double, null-key filter, price>=0.
+    // (l_orderkey, l_linenumber) is NOT unique in the driver data
+    // (~2% duplicate pairs), so the sort lists every column — a
+    // non-total ORDER BY matches the oracle's tie order only by luck
+    // of identical scan order, which multi-part sf1 files break.
     "m02_silver_lineitem" -> ((s, d) =>
       Gold.silverLineitem(s, d)
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+          "l_returnflag", "l_shipdate")),
 
     // J2-shape dim build: customer ⋈ broadcast(nation) ⋈ broadcast(region)
     "m03_dim_customer" -> ((s, d) =>
@@ -44,9 +50,14 @@ object MedallionQueries {
       Medallion.dimDate(orders(s, d)).orderBy("order_date")),
 
     // J1 inner equi-join + P5 status gate + F4 datediff measure — read
-    // back from the month-partitioned gold sink (S5 partitionBy + S6)
+    // back from the month-partitioned gold sink (S5 partitionBy + S6).
+    // Total order over all columns: (order_id, line_id) alone is not
+    // unique (see m02), and the partitioned sink's read order is
+    // arbitrary by construction.
     "m06_fact_sales" -> ((s, d) =>
-      Gold.fact(s, d).orderBy("order_id", "line_id"))
+      Gold.fact(s, d).orderBy("order_id", "line_id", "customer_id",
+        "product_id", "price", "freight_value", "order_purchase_timestamp",
+        "delivery_time_days"))
   )
 
   /** Shared DuckDB CTE for the gold fact — inlined into oracles below and
@@ -93,7 +104,9 @@ object MedallionQueries {
         |FROM lineitem
         |WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
         |  AND l_extendedprice >= 0
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |         l_quantity, l_extendedprice, l_discount, l_tax,
+        |         l_returnflag, l_shipdate""".stripMargin,
 
     "m03_dim_customer" ->
       """SELECT c.c_custkey, c.c_name, c.c_mktsegment,
@@ -119,6 +132,9 @@ object MedallionQueries {
 
     "m06_fact_sales" ->
       s"""WITH fact AS ($factSql)
-         |SELECT * FROM fact ORDER BY order_id, line_id""".stripMargin
+         |SELECT * FROM fact
+         |ORDER BY order_id, line_id, customer_id, product_id, price,
+         |         freight_value, order_purchase_timestamp,
+         |         delivery_time_days""".stripMargin
   )
 }
