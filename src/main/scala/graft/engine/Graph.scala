@@ -51,21 +51,31 @@ object Graph {
     * r_{k+1}(v) = teleport + (dampingPct · Σ_{(u,v)∈E} (r_k(u) div deg(u))) div 100
     * with teleport = ((100 − dampingPct) · unit) div 100.
     */
+  /** @param broadcastRanks ship the rank frame (one row per node) to
+    *        the edge blocks each round instead of shuffling both sides
+    *        into a sort-merge join. Correct default for graphs whose
+    *        node set fits executor memory (|V| ≪ |E|; here every node
+    *        carries 16 bytes, so even 10⁸ nodes is ~1.6 GB — at that
+    *        point, and beyond, flip to false for the co-partitioned
+    *        shuffle join; results are bit-identical either way).
+    */
   def pagerankFixedPoint(edges: DataFrame, iterations: Int,
                          srcCol: String = "src", dstCol: String = "dst",
-                         dampingPct: Int = 85, unit: Long = 1000000L): DataFrame = {
+                         dampingPct: Int = 85, unit: Long = 1000000L,
+                         broadcastRanks: Boolean = true): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     val src: Column = col(srcCol)
     val deg = edges.groupBy(src.as("src")).agg(count(lit(1)).as("deg"))
-    // materialized ONCE (eager localCheckpoint, partitioned on src):
-    // every round's join job reads these blocks instead of re-shuffling
-    // the edge list — the cross-JOB equivalent of the ReusedExchange the
-    // pre-round-15 single-plan shape relied on, now that each round is
-    // its own checkpointed job (see below)
+    // materialized ONCE (lazy localCheckpoint, partitioned on src, so
+    // round 1's job both computes and persists it): every later round's
+    // job reads these blocks instead of re-shuffling the edge list —
+    // the cross-JOB equivalent of the ReusedExchange the pre-round-15
+    // single-plan shape relied on, now that each round is its own
+    // checkpointed job (see below)
     val edgesDeg = edges.select(src.as("src"), col(dstCol).as("dst"))
       .join(deg, "src")
       .repartition(col("src"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val teleport = (100L - dampingPct) * unit / 100L
     // eager localCheckpoint per round (the kmeansAssign discipline):
     // without it round i's plan replays rounds 1..i-1 — O(k²) joins
@@ -76,20 +86,40 @@ object Graph {
     // Superseded rounds' blocks are released eagerly; the final round's
     // ≤|V|-row residue is freed by the caller's terminal action + GC —
     // intentional, same trade as kmeansAssign's final centroid frame.
+    // checkpoint STRIDE 2: each materialization job replays at most two
+    // rounds' joins (edges read from cached blocks both times), halving
+    // the per-round job/materialization overhead that dominates at
+    // small scale while keeping lineage depth — and so replay work —
+    // bounded by a constant at any scale. The final round is always
+    // checkpointed: it is the returned frame's only lineage, which is
+    // what lets the edge blocks be released below.
+    // rank side broadcast by default: a checkpoint scan advertises no
+    // outputPartitioning, so a shuffle join here re-exchanges the EDGE
+    // list every round (measured: most of the per-round cost) — while
+    // the rank frame is one row per node and ships for free. The
+    // per-round job is then map-side join over the cached edge blocks +
+    // a partially-aggregated (node, contribution) exchange that is ≤|V|
+    // rows per reducer — nothing edge-sized moves after round 0.
     var rk = deg.select(col("src").as("node"), lit(unit).as("rank"))
     var prev: DataFrame = null
-    for (_ <- 1 to iterations) {
-      rk = edgesDeg.join(rk, edgesDeg("src") === rk("node"))
+    for (i <- 1 to iterations) {
+      val rkSide = if (broadcastRanks) broadcast(rk) else rk
+      val next = edgesDeg.join(rkSide, edgesDeg("src") === rkSide("node"))
         .select(col("dst").as("node"), expr("rank div deg").as("c"))
         .groupBy(col("node"))
         .agg((lit(teleport) +
           expr(s"($dampingPct * sum(c)) div 100")).as("rank"))
-        .localCheckpoint(true)
-      if (prev != null) prev.unpersist()
-      prev = rk
+      if (i % 2 == 0 || i == iterations) {
+        rk = next.localCheckpoint(true)
+        if (prev != null) prev.unpersist()
+        prev = rk
+      } else rk = next
     }
-    // the last round is materialized, so the edge blocks are dead —
-    // release them now, not at GC time
+    // the last round IS materialized (its checkpoint is the returned
+    // frame's only lineage), so the edge blocks — the big residue, one
+    // row per edge — can be released here instead of waiting for GC;
+    // what remains for the caller is the ≤|V|-row rank frame, the same
+    // bounded trade as kmeansAssign's final centroids.
     edgesDeg.unpersist()
     rk
   }
