@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Block-capacity scale rehearsal:
+  * `runMain graft.BlockScale [sfDir [perCluster]]`.
+  *
+  * The registry's embedding near-dup entries (o42, o57) scope their
+  * candidate joins to k-means blocks with k FIXED at 8 — the right
+  * rehearsal contract at the oracle scale (the DuckDB twin replays the
+  * same 8 clusters), but a fixed k makes within-block pair work grow as
+  * Σ|cluster|² ≈ n²/k: quadratic in corpus size. The PRODUCTION
+  * contract, which the implementations already parameterize, is
+  * capacity-bounded blocking — k grows with n so the expected cluster
+  * size stays a constant (IVF practice: k ≈ n/points-per-centroid, the
+  * same dial `Similarity.ivfTopK` turns via nlist).
+  *
+  * This main measures exactly that claim, on real data at whatever
+  * scale factor it is pointed at: it runs
+  * [[graft.engine.Similarity.srpClusteredNearDup]] twice on the same
+  * corpus — once at the rehearsal k=8, once at k = n/perCluster — and
+  * prints wall time plus the block-size second moment Σ|c|²/n (the
+  * per-row join fan-out bound) for both. At 100 TB nobody flips a
+  * different algorithm on: the same banded-SRP-within-blocks plan with
+  * the k dial scaled is the scale path, and this probe is the evidence.
+  */
+object BlockScale {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("testdata-sf1")
+    val perCluster = args.lift(1).map(_.toInt).getOrElse(2500)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.cleaner.periodicGC.interval", "2min")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb = graft.engine.Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    val scaledK = math.max(8, (n / perCluster).toInt)
+    println(s"[blockscale] corpus: $n vectors ($sfDir); rehearsal k=8 vs scaled k=$scaledK (~$perCluster/cluster)")
+
+    def probe(label: String, k: Int): Unit = {
+      val t0 = System.nanoTime()
+      val pairs = graft.engine.Similarity.srpClusteredNearDup(emb, k = k)
+      val nPairs = pairs.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // block-size second moment: the Σ|c|² candidate-work bound the
+      // within-block join is subject to (before band subdivision)
+      val m2 = graft.engine.Similarity.kmeansAssign(emb, k)
+        .groupBy("cluster").count()
+        .agg(sum(col("count") * col("count"))).head.getLong(0)
+      println(f"[blockscale] $label%-12s k=$k%5d  $sec%8.2f s  pairs=$nPairs%d  sum|c|^2=$m2%d (${m2.toDouble / n}%.0f per row)")
+    }
+
+    probe("rehearsal", 8)
+    probe("scaled", scaledK)
+    println("[blockscale] same code, one dial: capacity-bounded k is the 100 TB path")
+    spark.stop()
+  }
+}
