@@ -59,9 +59,32 @@ object BlockScale {
       println(f"[blockscale] $label%-12s k=$k%5d  $sec%8.2f s  pairs=$nPairs%d  sum|c|^2=$m2%d (${m2.toDouble / n}%.0f per row)")
     }
 
+    /** The dial AFTER capacity-bounded flat k: the same ~k blocks built
+      * as a kCoarse×kFine two-level codebook, so training/assignment is
+      * n·(kCoarse+kFine) dots per round instead of n·k.
+      */
+    def probe2(label: String, kCoarse: Int, kFine: Int): Unit = {
+      val t0 = System.nanoTime()
+      val blocks = graft.engine.Similarity
+        .kmeansAssign2(emb, kCoarse = kCoarse, kFine = kFine)
+        .select(col("vec_id"), col("block").as("cluster"))
+      val pairs = graft.engine.Similarity.srpBlockedNearDup(emb, blocks)
+      val nPairs = pairs.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val m2 = graft.engine.Similarity
+        .kmeansAssign2(emb, kCoarse = kCoarse, kFine = kFine)
+        .groupBy("block").count()
+        .agg(sum(col("count") * col("count"))).head.getLong(0)
+      println(f"[blockscale] $label%-12s k=$kCoarse%dx$kFine%d  $sec%8.2f s  pairs=$nPairs%d  sum|c|^2=$m2%d (${m2.toDouble / n}%.0f per row)")
+    }
+
     probe("rehearsal", 8)
     probe("scaled", scaledK)
-    println("[blockscale] same code, one dial: capacity-bounded k is the 100 TB path")
+    val kCoarse = math.max(2, math.round(math.sqrt(scaledK.toDouble)).toInt)
+    val kFine = math.max(1, (scaledK + kCoarse - 1) / kCoarse)
+    probe2("two-level", kCoarse, kFine)
+    println("[blockscale] same code, one dial: capacity-bounded k is the 100 TB path;")
+    println("[blockscale] the two-level codebook holds per-row assignment at kCoarse+kFine dots when k grows")
     spark.stop()
   }
 }

@@ -203,12 +203,27 @@ object Similarity {
     */
   def srpClusteredNearDup(emb: DataFrame, k: Int = 8, iterations: Int = 3,
                           planes: Int = 64, bands: Int = 16, t: Int = 15,
-                          quantScale: Int = 1000): DataFrame = {
+                          quantScale: Int = 1000): DataFrame =
+    srpBlockedNearDup(emb,
+      kmeansAssign(emb, k, iterations, quantScale)
+        .select(col("vec_id"), col("cluster")),
+      planes, bands, t, quantScale)
+
+  /** The block-agnostic candidate core [[srpClusteredNearDup]] is built
+    * on: SRP banding scoped to a caller-supplied `blocks(vec_id,
+    * cluster)` assignment — any blocking discipline plugs in (flat
+    * [[kmeansAssign]] blocks, the two-level [[kmeansAssign2]] `block`
+    * ids renamed to `cluster`, or an upstream ingest partitioner).
+    * Semantics, per the srpClusteredNearDup contract: exactly "all
+    * same-block pairs at signature hamming ≤ t" (within a block the
+    * banding stays pigeonhole-complete for t < bands).
+    */
+  def srpBlockedNearDup(emb: DataFrame, blocks: DataFrame,
+                        planes: Int = 64, bands: Int = 16, t: Int = 15,
+                        quantScale: Int = 1000): DataFrame = {
     require(planes % bands == 0, "planes must divide into bands")
     require(t < bands, s"pigeonhole completeness needs t < bands, got t=$t bands=$bands")
     val bandBits = planes / bands
-    val blocks = kmeansAssign(emb, k, iterations, quantScale)
-      .select(col("vec_id"), col("cluster"))
     val banded = srpSignatures(emb, planes, quantScale)
       .join(blocks, "vec_id") // both sides pre-partitioned on vec_id
       .withColumn("b", explode(sequence(lit(0), lit(bands - 1))))
@@ -262,25 +277,53 @@ object Similarity {
     */
   def kmeansAssign(emb: DataFrame, k: Int = 8, iterations: Int = 3,
                    quantScale: Int = 1000): DataFrame = {
-    // ‖v−c‖² expanded as ‖v‖² − 2·v·c + ‖c‖², with both squared norms
-    // folded ONCE (per corpus row / per centroid) instead of per PAIR:
-    // the n·k hot loop then evaluates one codegen'd dot kernel per pair
-    // where the naive zip_with(diff)·diff form allocated and walked an
-    // interpreted 64-element diff array per pair (higher-order functions
-    // are CodegenFallback). Every term is an exact integer-valued double
-    // (quantized shifted inputs, |d| < 2^53), so the expanded sum is
-    // BIT-IDENTICAL to the naive form — same argmin, same oracle hash.
-    // Measured on the blocked near-dup probe (graft.BlockScale, 200k
-    // vectors): at k=80 the naive assignment dominated at 39.0 s total;
-    // expanded, the same probe runs 13.3 s — and scaled k=80 now beats
-    // rehearsal k=8 (17.6 s), which is the capacity-dial contract.
-    def dist2(vn2: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column,
-              cn2: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
-      vn2 - lit(2.0) * VectorOps.dot(v, c) + cn2
+    val q = quantizedShifted(emb, quantScale)
+    val cent = lloydCentroids(q, k, iterations)
+    q.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cluster"),
+        dist2(col("qn2"), col("qv"), col("cn2"), col("cv")).as("d"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d"), col("cluster"))).as("m"))
+      .select(col("vec_id"), col("m.cluster").as("cluster"),
+        col("m.d").cast("long").as("dist2"))
+  }
+
+  /** ‖v−c‖² expanded as ‖v‖² − 2·v·c + ‖c‖², with both squared norms
+    * folded ONCE (per corpus row / per centroid) instead of per PAIR:
+    * the n·k hot loop then evaluates one codegen'd dot kernel per pair
+    * where the naive zip_with(diff)·diff form allocated and walked an
+    * interpreted 64-element diff array per pair (higher-order functions
+    * are CodegenFallback). Every term is an exact integer-valued double
+    * (quantized shifted inputs, |d| < 2^53), so the expanded sum is
+    * BIT-IDENTICAL to the naive form — same argmin, same oracle hash.
+    * Measured on the blocked near-dup probe (graft.BlockScale, 200k
+    * vectors): at k=80 the naive assignment dominated at 39.0 s total;
+    * expanded, the same probe runs 13.3 s — and scaled k=80 now beats
+    * rehearsal k=8 (17.6 s), which is the capacity-dial contract.
+    */
+  private def dist2(vn2: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column,
+                    cn2: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
+    vn2 - lit(2.0) * VectorOps.dot(v, c) + cn2
+
+  /** Quantized SHIFTED corpus — the kmeansAssign exactness contract:
+    * `round(x·scale) + scale` ∈ [0, 2·scale], so every downstream sum is
+    * an exact integer sum and truncating division equals floor division
+    * on both engines. Squared norm folded once per row.
+    */
+  private def quantizedShifted(emb: DataFrame, quantScale: Int): DataFrame = {
     val qv = transform(VectorOps.asDouble(col("embedding")),
       x => round(x * quantScale) + quantScale)
-    val q = Spread(emb).select(col("vec_id"), qv.as("qv"))
+    Spread(emb).select(col("vec_id"), qv.as("qv"))
       .withColumn("qn2", VectorOps.normSq(col("qv")))
+  }
+
+  /** Lloyd update rounds over a [[quantizedShifted]] corpus: returns the
+    * FINAL (cluster, cv, cn2) centroid frame, eagerly checkpointed
+    * (≤ k rows; superseded rounds' blocks released as they go — see the
+    * in-loop comment). Shared by [[kmeansAssign]] (flat codebook) and
+    * [[kmeansAssign2]] (coarse stage of the two-level codebook).
+    */
+  private def lloydCentroids(q: DataFrame, k: Int, iterations: Int): DataFrame = {
     var cent = q.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cluster"),
         col("qv").as("cv"), col("qn2").as("cn2"))
@@ -318,12 +361,110 @@ object Similarity {
       if (prevCent != null) prevCent.unpersist()
       prevCent = cent
     }
-    q.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("cluster"),
+    cent
+  }
+
+  /** Two-level coarse/fine quantizer — the capacity dial AFTER
+    * capacity-bounded flat k (SCALE.md's stated "next dial"): when
+    * k ∝ n makes flat assignment's n·k dot products the dominant cost,
+    * split the codebook into kCoarse·kFine cells. Training and
+    * assignment then cost n·(kCoarse + kFine) dots per round instead of
+    * n·k — each row finds its coarse cell against the ≤kCoarse
+    * broadcast centroids, then its fine centroid against only ITS
+    * cell's ≤kFine candidates (a broadcast join on the coarse key,
+    * never the full fine codebook). This is the IVF coarse-quantizer +
+    * per-list sub-quantizer recipe (FAISS `IVF…,IVF…` / IMI family,
+    * minus PQ compression) in declarative Spark.
+    *
+    * Exactness discipline is [[kmeansAssign]]'s, unchanged: quantized
+    * shifted integer arithmetic, argmin ties to the smaller
+    * (cluster, fine) id, floor-div updates, no RNG — the assignment is
+    * partition-invariant and bit-reproducible across engines. Fine
+    * seeding is deterministic and DISTRIBUTED: per (coarse cell,
+    * residue `vec_id % kFine`) the MIN vec_id seeds — a map-side-
+    * combinable aggregate, no window over the corpus, no driver
+    * collection. An empty (cell, residue) just seeds fewer fine
+    * centroids there, and a (cell, fine) that loses all members drops
+    * out (the kmeansAssign drop-out policy; no RNG re-seeding).
+    *
+    * Scale shape: the fine rounds iterate over a ONE-TIME
+    * localCheckpoint of the coarse-assigned quantized corpus — released
+    * before returning — so each round is one broadcast join + one
+    * map-side-combined update, not a replay of the coarse stage (at
+    * 100 TB the quantizer trains on a bounded sample; that cached frame
+    * IS the sample). The RETURNED assignment is lazy and STATELESS: one
+    * pass over the source against the two final broadcast codebooks
+    * (coarse argmin, then fine argmin within the cell), so callers can
+    * apply it to the full corpus — or to tomorrow's ingest — without
+    * holding any training state. Output:
+    * (vec_id, cluster, fine, block = cluster·kFine + fine, dist2).
+    */
+  def kmeansAssign2(emb: DataFrame, kCoarse: Int = 8, kFine: Int = 8,
+                    iterations: Int = 3, quantScale: Int = 1000): DataFrame = {
+    val q = quantizedShifted(emb, quantScale)
+    val coarse = lloydCentroids(q, kCoarse, iterations)
+    // training corpus with its coarse cell, cached once for the fine
+    // rounds; the coarse argmin here is the SAME arithmetic the final
+    // stateless pass re-runs, so membership is identical by construction
+    val qa = q.crossJoin(broadcast(coarse))
+      .select(col("vec_id"), col("qv"), col("qn2"), col("cluster"),
         dist2(col("qn2"), col("qv"), col("cn2"), col("cv")).as("d"))
       .groupBy(col("vec_id"))
-      .agg(min(struct(col("d"), col("cluster"))).as("m"))
+      .agg(min(struct(col("d"), col("cluster"))).as("m"),
+        first(col("qv")).as("qv"), first(col("qn2")).as("qn2"))
       .select(col("vec_id"), col("m.cluster").as("cluster"),
+        col("qv"), col("qn2"))
+      .localCheckpoint(true)
+    val seedIds = qa.groupBy(col("cluster"),
+        pmod(col("vec_id"), lit(kFine)).cast("int").as("fine"))
+      .agg(min(col("vec_id")).as("vec_id"))
+    var fineCent = qa.join(broadcast(seedIds), Seq("vec_id", "cluster"))
+      .select(col("cluster"), col("fine"),
+        col("qv").as("cv"), col("qn2").as("cn2"))
+      .localCheckpoint(true)
+    var prevFine: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val assigned = qa.join(broadcast(fineCent), Seq("cluster"))
+        .select(col("vec_id"), col("cluster"), col("qv"), col("fine"),
+          dist2(col("qn2"), col("qv"), col("cn2"), col("cv")).as("d"))
+        .groupBy(col("vec_id"), col("cluster"))
+        .agg(min(struct(col("d"), col("fine"))).as("m"),
+          first(col("qv")).as("qv"))
+        .select(col("cluster"), col("m.fine").as("fine"), col("qv"))
+      fineCent = assigned
+        .select(col("cluster"), col("fine"), posexplode(col("qv")))
+        .groupBy(col("cluster"), col("fine"), col("pos"))
+        .agg(sum(col("col").cast("long")).as("s"), count(lit(1)).as("n"))
+        .select(col("cluster"), col("fine"), col("pos"),
+          expr("s div n").cast("double").as("v"))
+        .groupBy(col("cluster"), col("fine"))
+        .agg(collect_list(struct(col("pos"), col("v"))).as("pv"))
+        .select(col("cluster"), col("fine"),
+          transform(array_sort(col("pv")), x => x.getField("v")).as("cv"))
+        .withColumn("cn2", VectorOps.normSq(col("cv")))
+        .localCheckpoint(true)
+      if (prevFine != null) prevFine.unpersist()
+      prevFine = fineCent
+    }
+    // the final fine codebook is materialized; the training corpus cache
+    // is dead weight from here — release it NOW (the returned frame
+    // below reads only the source and the two ≤k-row codebooks)
+    qa.unpersist()
+    q.crossJoin(broadcast(coarse))
+      .select(col("vec_id"), col("qv"), col("qn2"), col("cluster"),
+        dist2(col("qn2"), col("qv"), col("cn2"), col("cv")).as("d"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d"), col("cluster"))).as("m"),
+        first(col("qv")).as("qv"), first(col("qn2")).as("qn2"))
+      .select(col("vec_id"), col("m.cluster").as("cluster"),
+        col("qv"), col("qn2"))
+      .join(broadcast(fineCent), Seq("cluster"))
+      .select(col("vec_id"), col("cluster"), col("qv"), col("fine"),
+        dist2(col("qn2"), col("qv"), col("cn2"), col("cv")).as("d"))
+      .groupBy(col("vec_id"), col("cluster"))
+      .agg(min(struct(col("d"), col("fine"))).as("m"))
+      .select(col("vec_id"), col("cluster"), col("m.fine").as("fine"),
+        (col("cluster") * lit(kFine) + col("m.fine")).cast("int").as("block"),
         col("m.d").cast("long").as("dist2"))
   }
 
