@@ -222,6 +222,20 @@ class SimilaritySpec extends AnyFunSuite {
       "fine level must subdivide at least one coarse cell")
   }
 
+  test("kmeansAssign2's returned plan is cartesian-free and codebook-broadcast only") {
+    // the PlanAuditSpec contract applied to the non-registry path: the
+    // stateless returned assignment must meet the corpus only through
+    // broadcast codebooks (BNL over <=k rows / broadcast hash join),
+    // never a cartesian product
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val plan = Similarity.kmeansAssign2(emb, kCoarse = 4, kFine = 3, iterations = 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "two-level assignment must not plan a cartesian product")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      "codebooks must arrive by broadcast")
+  }
+
   test("srpBlockedNearDup over two-level blocks equals brute-force same-block hamming") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val blocks2 = Similarity.kmeansAssign2(emb, kCoarse = 4, kFine = 2,
