@@ -55,7 +55,7 @@ object BlockScale {
       // within-block join is subject to (before band subdivision)
       val m2 = graft.engine.Similarity.kmeansAssign(emb, k)
         .groupBy("cluster").count()
-        .agg(sum(col("count") * col("count"))).head.getLong(0)
+        .agg(sum(col("count") * col("count"))).head().getLong(0)
       println(f"[blockscale] $label%-12s k=$k%5d  $sec%8.2f s  pairs=$nPairs%d  sum|c|^2=$m2%d (${m2.toDouble / n}%.0f per row)")
     }
 
@@ -74,7 +74,7 @@ object BlockScale {
       val m2 = graft.engine.Similarity
         .kmeansAssign2(emb, kCoarse = kCoarse, kFine = kFine)
         .groupBy("block").count()
-        .agg(sum(col("count") * col("count"))).head.getLong(0)
+        .agg(sum(col("count") * col("count"))).head().getLong(0)
       println(f"[blockscale] $label%-12s k=$kCoarse%dx$kFine%d  $sec%8.2f s  pairs=$nPairs%d  sum|c|^2=$m2%d (${m2.toDouble / n}%.0f per row)")
     }
 

@@ -51,7 +51,17 @@ object ScaleData {
       "event_id" -> ("events", "event_id"),
       "user_id"  -> ("events", "user_id")),
     "documents"  -> Seq("doc_id" -> ("documents", "doc_id")),
-    "embeddings" -> Seq("vec_id" -> ("embeddings", "vec_id"))
+    "embeddings" -> Seq(
+      "vec_id" -> ("embeddings", "vec_id"),
+      // label IS a key: it's the upstream coarse quantizer's cluster id,
+      // and the quantizer's ingest contract is capacity-bounded clusters
+      // — label cardinality grows with the corpus, per-label group size
+      // stays put. Leaving it unshifted made every label-grouped
+      // operator (o42's label-equi self-join: Σ|cluster|²) grow
+      // QUADRATICALLY in the rehearsal while production grows linearly —
+      // the exact distribution dishonesty this generator exists to avoid
+      // (measured: o42 sf1→sf10 went 34× for 10× data before this shift).
+      "label"  -> ("embeddings", "label"))
   )
 
   def main(args: Array[String]): Unit = {
@@ -84,7 +94,10 @@ object ScaleData {
       val shifted = keyPlan(t)
       val reps = base.withColumn("rep", explode(lit((0 until factor).toArray)))
       val keyed = shifted.foldLeft(reps) { case (df, (key, ref)) =>
-        df.withColumn(key, col(key) + col("rep") * lit(strides(ref)))
+        // cast back to the source column's type: the long stride product
+        // must not silently widen a 32-bit key's parquet schema
+        df.withColumn(key, (col(key) + col("rep") * lit(strides(ref)))
+          .cast(base.schema(key).dataType))
       }
       val transformed = t match {
         case "documents" =>

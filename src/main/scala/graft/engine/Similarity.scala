@@ -422,7 +422,10 @@ object Similarity {
       .select(col("cluster"), col("fine"),
         col("qv").as("cv"), col("qn2").as("cn2"))
       .localCheckpoint(true)
-    var prevFine: DataFrame = null
+    // unlike lloydCentroids (whose init codebook is a lazy filter), the
+    // seed codebook above IS checkpointed — seed prevFine with it so
+    // round 1 releases it like every later superseded round
+    var prevFine: DataFrame = fineCent
     for (_ <- 1 to iterations) {
       val assigned = qa.join(broadcast(fineCent), Seq("cluster"))
         .select(col("vec_id"), col("cluster"), col("qv"), col("fine"),
