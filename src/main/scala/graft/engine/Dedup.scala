@@ -580,8 +580,11 @@ object Dedup {
     * portable cross-engine convention used by every other hash here.
     */
   def normalizedDedup(docs: DataFrame): DataFrame = {
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    // one-pass codegen'd kernel, proven byte-identical to the builtin
+    // trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "),
+    // " +", " ")) chain in TextHashSpec — one scan + one allocation
+    // instead of a lower pass and two global-regex passes
+    val norm = graft.functions.TextHashFunctions.normalizeAlnum(col("text"))
     val keyed = Spread(docs).select(col("doc_id"), md5(norm).as("norm_md5"))
     val w = Window.partitionBy(col("norm_md5"))
     keyed

@@ -87,4 +87,41 @@ object TextHash {
     val hs = sh.map(hashToken(_, Seed)).distinct.sorted
     new GenericArrayData(hs.take(k))
   }
+
+  /** One-pass exact equivalent of the CCNet-style normalization chain
+    * `trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "),
+    * " +", " "))` — one allocation and one byte scan instead of a lower
+    * pass plus two global-regex passes (each of which allocates and
+    * re-walks the string).
+    *
+    * Exactness for ANY input, not just ASCII: lowercasing goes through
+    * `UTF8String.toLowerCase` — the same kernel Spark's `Lower`
+    * expression calls, so case mapping is bit-identical — and the scan
+    * is byte-level, which is exact because (a) every KEPT byte
+    * ([a-z0-9]) is a single-byte UTF-8 codepoint, and (b) any dropped
+    * codepoint — however many bytes — contributes only to a pending
+    * space run, indistinguishable after collapse from the regex's
+    * one-space-per-codepoint replacement followed by `" +"` collapse
+    * and trim. (A literal space is also just a dropped byte here: the
+    * regex KEEPS spaces then collapses runs — same pending-space
+    * outcome.)
+    */
+  def normalizeAlnum(text: UTF8String): UTF8String = {
+    val b = text.toLowerCase.getBytes
+    val out = new Array[Byte](b.length)
+    var n = 0
+    var pendingSpace = false
+    var i = 0
+    while (i < b.length) {
+      val c = b(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        if (pendingSpace && n > 0) { out(n) = ' '; n += 1 }
+        out(n) = c
+        n += 1
+        pendingSpace = false
+      } else pendingSpace = true
+      i += 1
+    }
+    UTF8String.fromBytes(out, 0, n)
+  }
 }

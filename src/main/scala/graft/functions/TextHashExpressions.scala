@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom Catalyst expressions for the dedup suite. Native expressions
@@ -36,6 +36,16 @@ case class MinHashExpr(child: Expression, k: Int, shingleWidth: Int)
     copy(child = newChild)
 }
 
+case class NormalizeAlnumExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.normalizeAlnum(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.normalizeAlnum($c)")
+  override protected def withNewChildInternal(newChild: Expression): NormalizeAlnumExpr =
+    copy(child = newChild)
+}
+
 case class BottomKFingerprintExpr(child: Expression, k: Int, shingleWidth: Int)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -58,4 +68,5 @@ object TextHashFunctions {
     column(MinHashExpr(expression(c), k, shingleWidth))
   def fingerprint(c: Column, k: Int = 8, shingleWidth: Int = 3): Column =
     column(BottomKFingerprintExpr(expression(c), k, shingleWidth))
+  def normalizeAlnum(c: Column): Column = column(NormalizeAlnumExpr(expression(c)))
 }

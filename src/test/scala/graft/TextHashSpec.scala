@@ -69,4 +69,27 @@ class TextHashSpec extends AnyFunSuite {
     assert(a == b)
     assert(a != c)
   }
+
+  test("normalizeAlnum equals the builtin lower/regex/trim chain, corpus + adversarial") {
+    // the o78 contract: the one-pass kernel must be byte-identical to
+    // trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' '),
+    // ' +', ' ')) — checked on the real corpus AND on literals chosen to
+    // stress the byte-level scan (multibyte codepoints, case-fold edge
+    // cases like Kelvin K and dotted İ, runs of separators, empties)
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tricky = Seq("", "   ", "a!!b", "  Hello,  WORLD!! 42 ", "!!!",
+      "é Café 9", "a\tb\nc", "ÅK", "İstanbul", "ab  cd",
+      "ﬀx", "mixed ÅNGSTRÖM text 123").toDF("text")
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text"))
+    val both = corpus.unionByName(tricky)
+      .select(
+        graft.functions.TextHashFunctions.normalizeAlnum(col("text")).as("kernel"),
+        trim(regexp_replace(regexp_replace(lower(col("text")),
+          "[^a-z0-9 ]", " "), " +", " ")).as("chain"))
+    val bad = both.filter(not(col("kernel") <=> col("chain"))).collect()
+    assert(bad.isEmpty, s"kernel drift on: ${bad.take(3).mkString("; ")}")
+  }
 }
