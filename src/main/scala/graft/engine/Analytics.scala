@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The reference dashboard's 7 analytical queries + KPI rollup
@@ -51,19 +51,33 @@ object Analytics {
     * Per-order: SUM(price), MAX(delivery_days), SUM(freight); then global
     * SUM/AVG/COUNT/AVG/AVG.
     */
+  /** Order-free money aggregation (round-15 sf10 lesson): every money
+    * double is cast to DECIMAL(18,6) BEFORE it is summed — exact for
+    * values with ≤6 decimal places (money here carries ≤4), and a
+    * decimal sum is bit-stable under ANY association order and
+    * partitioning on both engines. A plain SUM(double) over 15 M rows
+    * is last-ulp order-dependent, which crosses `round(…, 2)`
+    * boundaries at the sf10 rehearsal (measured: a01 total_sales
+    * 1051192477187.0 vs …186.9). Averages divide the exact decimal sum
+    * (cast to double — one well-defined conversion) by the count with a
+    * single IEEE division, so no float ever accumulates.
+    */
+  private def moneySum(c: Column): Column =
+    sum(c.cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+
   def kpis(fact: DataFrame, dimCustomer: DataFrame, states: Seq[String] = Nil): DataFrame = {
     val perOrder = stateGate(factWithState(fact, dimCustomer), states)
       .groupBy(col("order_id"))
       .agg(
-        sum(col("price")).as("order_revenue"),
+        moneySum(col("price")).as("order_revenue"),
         max(col("delivery_time_days")).as("delivery_time_days"),
-        sum(col("freight_value")).as("freight_value"))
+        moneySum(col("freight_value")).as("freight_value"))
     perOrder.agg(
-      round(sum(col("order_revenue")), 2).as("total_sales"),
+      round(sum(col("order_revenue")), 2).cast("double").as("total_sales"),
       round(avg(col("delivery_time_days")), 2).as("avg_delivery"),
       count(lit(1)).as("total_orders"),
-      round(avg(col("freight_value")), 2).as("avg_freight"),
-      round(avg(col("order_revenue")), 2).as("avg_order_value"))
+      round(sum(col("freight_value")).cast("double") / count(lit(1)), 2).as("avg_freight"),
+      round(sum(col("order_revenue")).cast("double") / count(lit(1)), 2).as("avg_order_value"))
   }
 
   /** Top-10 categories by revenue — reference `dashboard/queries.py:40-52`.
@@ -76,7 +90,7 @@ object Analytics {
       .join(broadcast(dimPart.select("p_partkey", "category")),
         col("product_id") === col("p_partkey"))
       .groupBy(col("category"))
-      .agg(round(sum(col("price")), 2).as("revenue"))
+      .agg(round(moneySum(col("price")), 2).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("category"))
       .limit(k)
 
@@ -106,9 +120,10 @@ object Analytics {
                         states: Seq[String] = Nil): DataFrame =
     stateGate(factWithState(fact, dimCustomer), states)
       .groupBy(col("order_id"), col("customer_state"))
-      .agg(sum(col("freight_value")).as("freight_value"))
+      .agg(moneySum(col("freight_value")).as("freight_value"))
       .groupBy(col("customer_state"))
-      .agg(round(avg(col("freight_value")), 2).as("avg_freight"))
+      .agg(round(sum(col("freight_value")).cast("double") / count(lit(1)), 2)
+        .as("avg_freight"))
       .orderBy(col("avg_freight").desc, col("customer_state"))
 
   /** Monthly revenue trend — reference `dashboard/queries.py:122-132`;
@@ -117,7 +132,7 @@ object Analytics {
   def monthlyTrend(fact: DataFrame, dimCustomer: DataFrame, states: Seq[String] = Nil): DataFrame =
     stateGate(factWithState(fact, dimCustomer), states)
       .groupBy(date_format(col("order_purchase_timestamp"), "yyyy-MM").as("period"))
-      .agg(round(sum(col("price")), 2).as("revenue"))
+      .agg(round(moneySum(col("price")), 2).cast("double").as("revenue"))
       .orderBy(col("period"))
 
   /** Weekday seasonality with the Monday-first CASE sort — reference
@@ -134,7 +149,7 @@ object Analytics {
       .otherwise(7)
     stateGate(factWithState(fact, dimCustomer), states)
       .groupBy(date_format(col("order_purchase_timestamp"), "EEEE").as("day_of_week"))
-      .agg(round(sum(col("price")), 2).as("revenue"))
+      .agg(round(moneySum(col("price")), 2).cast("double").as("revenue"))
       .orderBy(dowRank)
   }
 }

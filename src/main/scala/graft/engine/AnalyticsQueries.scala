@@ -62,16 +62,16 @@ object AnalyticsQueries {
        |),
        |per_order AS (
        |  SELECT order_id,
-       |         SUM(price) AS order_revenue,
+       |         SUM(CAST(price AS DECIMAL(18,6))) AS order_revenue,
        |         MAX(delivery_time_days) AS delivery_time_days,
-       |         SUM(freight_value) AS freight_value
+       |         SUM(CAST(freight_value AS DECIMAL(18,6))) AS freight_value
        |  FROM joined GROUP BY order_id
        |)
-       |SELECT ROUND(SUM(order_revenue), 2) AS total_sales,
+       |SELECT CAST(ROUND(SUM(order_revenue), 2) AS DOUBLE) AS total_sales,
        |       ROUND(AVG(delivery_time_days), 2) AS avg_delivery,
        |       COUNT(*) AS total_orders,
-       |       ROUND(AVG(freight_value), 2) AS avg_freight,
-       |       ROUND(AVG(order_revenue), 2) AS avg_order_value
+       |       ROUND(CAST(SUM(freight_value) AS DOUBLE) / COUNT(*), 2) AS avg_freight,
+       |       ROUND(CAST(SUM(order_revenue) AS DOUBLE) / COUNT(*), 2) AS avg_order_value
        |FROM per_order""".stripMargin
 
   def oracles: Map[String, String] = Map(
@@ -79,7 +79,8 @@ object AnalyticsQueries {
 
     "a02_top_categories" ->
       s"""$factCte
-         |SELECT p.p_brand AS category, ROUND(SUM(f.price), 2) AS revenue
+         |SELECT p.p_brand AS category,
+         |       CAST(ROUND(SUM(CAST(f.price AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
          |FROM fact f
          |JOIN part p ON f.product_id = p.p_partkey
          |JOIN dim_customer c ON f.customer_id = c.c_custkey
@@ -112,11 +113,12 @@ object AnalyticsQueries {
       s"""$factCte,
          |per_order AS (
          |  SELECT f.order_id, c.customer_state,
-         |         SUM(f.freight_value) AS freight_value
+         |         SUM(CAST(f.freight_value AS DECIMAL(18,6))) AS freight_value
          |  FROM fact f JOIN dim_customer c ON f.customer_id = c.c_custkey
          |  GROUP BY f.order_id, c.customer_state
          |)
-         |SELECT customer_state, ROUND(AVG(freight_value), 2) AS avg_freight
+         |SELECT customer_state,
+         |       ROUND(CAST(SUM(freight_value) AS DOUBLE) / COUNT(*), 2) AS avg_freight
          |FROM per_order
          |GROUP BY customer_state
          |ORDER BY avg_freight DESC, customer_state""".stripMargin,
@@ -124,7 +126,7 @@ object AnalyticsQueries {
     "a06_monthly_trend" ->
       s"""$factCte
          |SELECT strftime(f.order_purchase_timestamp, '%Y-%m') AS period,
-         |       ROUND(SUM(f.price), 2) AS revenue
+         |       CAST(ROUND(SUM(CAST(f.price AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
          |FROM fact f JOIN dim_customer c ON f.customer_id = c.c_custkey
          |GROUP BY 1
          |ORDER BY period""".stripMargin,
@@ -132,7 +134,7 @@ object AnalyticsQueries {
     "a07_weekday_seasonality" ->
       s"""$factCte
          |SELECT strftime(f.order_purchase_timestamp, '%A') AS day_of_week,
-         |       ROUND(SUM(f.price), 2) AS revenue
+         |       CAST(ROUND(SUM(CAST(f.price AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
          |FROM fact f JOIN dim_customer c ON f.customer_id = c.c_custkey
          |GROUP BY 1
          |ORDER BY CASE

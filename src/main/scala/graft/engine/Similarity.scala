@@ -21,17 +21,21 @@ import graft.functions.VectorOps
   */
 object Similarity {
 
-  /** Corpus with per-row precomputed double vector + its norm: each
-    * vector's norm is folded ONCE, not once per pair — the pair-time
-    * cosine is then `dot / (normA * normB)`, the exact operand order of
-    * [[VectorOps.cosine]] (and of DuckDB `list_cosine_similarity`), so
-    * results stay bit-identical. Also spreads a single-split corpus
-    * across the cluster (array folds are interpreted per element — the
-    * one hot loop in this module that parallelism must cover).
+  /** Corpus with per-row precomputed double vector + its SQUARED norm:
+    * the squared norm is folded ONCE, not once per pair — the pair-time
+    * cosine is then `dot / sqrt(n2a * n2b)`, the exact operand order of
+    * [[VectorOps.cosine]] and of DuckDB `list_cosine_similarity`
+    * (probed: squared norms multiply FIRST, then one sqrt — an
+    * identical-vector pair is exactly 1.0 under this order, 1+2⁻⁵² under
+    * sqrt(n2a)·sqrt(n2b); the sf10 rehearsal's rotation-invariant
+    * replicas hit the difference in the raw-cos oracles). Also spreads a
+    * single-split corpus across the cluster (array folds are interpreted
+    * per element — the one hot loop in this module that parallelism must
+    * cover).
     */
   private def withNorms(emb: DataFrame): DataFrame =
     Spread(emb).withColumn("v", VectorOps.asDouble(col("embedding")))
-      .withColumn("n", VectorOps.norm(col("v")))
+      .withColumn("n2", VectorOps.normSq(col("v")))
 
   /** Exact top-k cosine neighbors for query vectors `vec_id < nQueries`
     * (self excluded) — bit-identical to DuckDB `list_cosine_similarity`
@@ -40,11 +44,11 @@ object Similarity {
   def knnCosine(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
     val e = withNorms(emb)
     val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n").as("qn"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n2").as("qn2"))
     val scored = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (VectorOps.dot(col("qv"), col("v")) / (col("qn") * col("n"))).as("cos"))
+        (VectorOps.dot(col("qv"), col("v")) / sqrt(col("qn2") * col("n2"))).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rn", row_number().over(w))
@@ -60,11 +64,11 @@ object Similarity {
     */
   def cosineNearDup(emb: DataFrame, threshold: Double, sampleMod: Int = 10): DataFrame = {
     val e = withNorms(emb.filter(pmod(col("vec_id"), lit(sampleMod)) === 0))
-    val a = e.select(col("vec_id").as("a"), col("v").as("va"), col("n").as("na"))
-    val b = e.select(col("vec_id").as("b"), col("v").as("vb"), col("n").as("nb"))
+    val a = e.select(col("vec_id").as("a"), col("v").as("va"), col("n2").as("na2"))
+    val b = e.select(col("vec_id").as("b"), col("v").as("vb"), col("n2").as("nb2"))
     a.join(broadcast(b), col("a") < col("b"))
       .select(col("a"), col("b"),
-        (VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+        (VectorOps.dot(col("va"), col("vb")) / sqrt(col("na2") * col("nb2"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
@@ -79,13 +83,13 @@ object Similarity {
   def clusteredNearDup(emb: DataFrame, threshold: Double): DataFrame = {
     val e = withNorms(emb)
     val a = e.select(col("label"), col("vec_id").as("a"),
-      col("v").as("va"), col("n").as("na"))
+      col("v").as("va"), col("n2").as("na2"))
     val b = e.select(col("label"), col("vec_id").as("b"),
-      col("v").as("vb"), col("n").as("nb"))
+      col("v").as("vb"), col("n2").as("nb2"))
     a.join(b, Seq("label"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"),
-        (VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+        (VectorOps.dot(col("va"), col("vb")) / sqrt(col("na2") * col("nb2"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
@@ -535,12 +539,12 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     cand
-      .join(e.select(col("vec_id").as("neighbor_id"), col("v"), col("n")), "neighbor_id")
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v"), col("n2")), "neighbor_id")
       .join(broadcast(e.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n").as("qn"))),
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n2").as("qn2"))),
         "query_id")
       .select(col("query_id"), col("neighbor_id"),
-        (VectorOps.dot(col("qv"), col("v")) / (col("qn") * col("n"))).as("cos"))
+        (VectorOps.dot(col("qv"), col("v")) / sqrt(col("qn2") * col("n2"))).as("cos"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k).drop("rn")
   }
@@ -552,21 +556,21 @@ object Similarity {
   def ivfTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5, nprobe: Int = 2): DataFrame = {
     val e = withNorms(emb)
     val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n").as("qn"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n2").as("qn2"))
     val cw = Window.partitionBy(col("query_id"))
       .orderBy(col("ccos").desc, col("label"))
     val probed = q.crossJoin(broadcast(centroids(emb)))
-      .select(col("query_id"), col("qv"), col("qn"), col("label"),
+      .select(col("query_id"), col("qv"), col("qn2"), col("label"),
         VectorOps.cosine(col("qv"), col("centroid")).as("ccos"))
       .withColumn("rn", row_number().over(cw))
       .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("qv"), col("qn"), col("label"))
+      .select(col("query_id"), col("qv"), col("qn2"), col("label"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     e.join(broadcast(probed), Seq("label")) // cluster-pruned scan
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (VectorOps.dot(col("qv"), col("v")) / (col("qn") * col("n"))).as("cos"))
+        (VectorOps.dot(col("qv"), col("v")) / sqrt(col("qn2") * col("n2"))).as("cos"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k).drop("rn")
   }

@@ -31,11 +31,20 @@ object TpchQueries {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-            .as("sum_disc_price"),
+          // money sums ride DECIMAL(18,6) — exact and association-order-
+          // free; a SUM(double) over 60 M rows drifts in its last ulp and
+          // crossed the round(…,2) boundary at the sf10 rehearsal. The
+          // disc_price product is cast AFTER the multiply: the true value
+          // has 4 decimals and the double product's 1e-13 relative error
+          // is far inside the 6-decimal cast, so the cast recovers the
+          // exact product on both engines.
+          round(sum(col("l_extendedprice").cast("decimal(18,6)")), 2)
+            .cast("double").as("sum_base_price"),
+          round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,6)")), 2).cast("double").as("sum_disc_price"),
           round(avg(col("l_quantity")), 2).as("avg_qty"),
-          round(avg(col("l_discount")), 4).as("avg_disc"),
+          round(sum(col("l_discount").cast("decimal(18,6)")).cast("double")
+            / count(lit(1)), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
@@ -685,10 +694,13 @@ object TpchQueries {
     "t01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       ROUND(SUM(l_quantity), 2) AS sum_qty,
-        |       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+        |         AS sum_base_price,
+        |       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE)
+        |         AS sum_disc_price,
         |       ROUND(AVG(l_quantity), 2) AS avg_qty,
-        |       ROUND(AVG(l_discount), 4) AS avg_disc,
+        |       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4)
+        |         AS avg_disc,
         |       COUNT(*) AS count_order
         |FROM lineitem
         |WHERE CAST(l_shipdate AS TIMESTAMP) <= TIMESTAMP '1998-09-02'

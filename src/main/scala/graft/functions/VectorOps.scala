@@ -36,12 +36,18 @@ object VectorOps {
   def norm(a: Column): Column = sqrt(normSq(a))
 
   /** Cosine similarity = dot / (|a|·|b|), computed as
-    * dot / (sqrt(na) * sqrt(nb)) — the exact operation order DuckDB uses.
+    * dot / sqrt(normSq(a) * normSq(b)) — DuckDB list_cosine_similarity's
+    * EXACT operation order (probed directly: multiply the squared norms,
+    * then ONE sqrt). The distinction only shows in the last ulp — e.g.
+    * an identical-vector pair is exactly 1.0 under this order but
+    * 1+2⁻⁵² under sqrt(na)·sqrt(nb), which the sf10 rehearsal surfaced
+    * on rotation-invariant replica vectors — but raw-cos oracles (o23,
+    * o30) hash it.
     */
   def cosine(a: Column, b: Column): Column = {
     val ad = asDouble(a)
     val bd = asDouble(b)
-    dot(ad, bd) / (norm(ad) * norm(bd))
+    dot(ad, bd) / sqrt(normSq(ad) * normSq(bd))
   }
 
   /** L2 (Euclidean) distance. */
