@@ -7,13 +7,26 @@ the sfDir parquet tables in DuckDB and compares with the Spark parquet dump
 written by graft.Verify. Columns are sorted by name before comparison, like
 the driver; rows are compared both in emitted order and sorted.
 
-Usage: python3 dev/check_oracle.py <sfDir> <verifyOutDir> [--timeout SECS] [--json OUT]
+Usage: python3 dev/check_oracle.py <sfDir> <verifyOutDir> [--timeout SECS]
+       [--json OUT] [--memory-limit SIZE] [--temp-dir DIR[:MAXSIZE]]
+       [--only q1,q2,...]
 
 --timeout: per-oracle wall-clock budget; a DuckDB run past it is interrupted
-and recorded as `timeout` (skipped, not failed) — for sf1 sweeps where the
-handful of all-pairs oracles are infeasible in DuckDB but everything else is
-checkable. --json: also write per-query results as JSON (for the
-CORRECTNESS_sf1_r{N} artifact).
+and recorded as `oracle_infeasible` with an explicit reason (skipped, not
+failed) — for sf1/sf10 sweeps where the handful of all-pairs oracles are
+infeasible in DuckDB but everything else is checkable. --json: also write
+per-query results as JSON (for the CORRECTNESS_sf{N}_r{N} artifact).
+--memory-limit: DuckDB memory_limit (e.g. 24GB) so big oracles spill instead
+of OOM-ing. --temp-dir: DuckDB temp_directory, optionally with a
+max_temp_directory_size cap (e.g. /tmp/ducktmp:40GB) so a spilling oracle
+(o70's 5-round CTE chain at sf10) is bounded-disk and DECIDABLE instead of
+dying of out-of-disk. --only: restrict the sweep to a comma-separated query
+subset (targeted re-proof runs).
+
+Every non-green row carries a `method` + `reason` field, so the artifact is
+self-describing: `oracle_infeasible` (timeout / resource exhaustion, with
+the trigger), `rows_only` (documented no-SQL-oracle sketches), or a real
+`match: false`.
 
 Type gate (round 15): the driver's hash is TYPE-SENSITIVE — DuckDB widens
 SUM(BIGINT) and '//'-over-HUGEINT to HUGEINT (int128), which pandas silently
@@ -49,8 +62,17 @@ def run_with_timeout(con, sql, timeout):
         timer.cancel()
 
 
-def main(sf_dir, out_dir, timeout=None, json_out=None):
+def main(sf_dir, out_dir, timeout=None, json_out=None, memory_limit=None,
+         temp_dir=None, only=None):
     con = duckdb.connect()
+    if memory_limit:
+        con.execute(f"SET memory_limit='{memory_limit}'")
+    if temp_dir:
+        d, _, cap = temp_dir.partition(":")
+        os.makedirs(d, exist_ok=True)
+        con.execute(f"SET temp_directory='{d}'")
+        if cap:
+            con.execute(f"SET max_temp_directory_size='{cap}'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.isdir(p):  # Spark-written table dir (sf1 rehearsal data)
@@ -65,33 +87,58 @@ def main(sf_dir, out_dir, timeout=None, json_out=None):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
             continue
+        if only and name not in only:
+            continue
         spark_df = con.execute(
             f"SELECT * FROM read_parquet('{d}/*.parquet')").df()
         if name not in oracle:
             print(f"[rows-only] {name}: {len(spark_df)} rows")
-            results[name] = {"rows": len(spark_df), "method": "rows_only",
-                             "match": None}
+            results[name] = {
+                "rows": len(spark_df), "method": "rows_only", "match": None,
+                "reason": "no SQL-expressible oracle (documented sketch; "
+                          "see the exact hash-checked twin query)"}
             continue
         try:
             duck_df = run_with_timeout(con, oracle[name], timeout)
         except duckdb.InterruptException:
-            print(f"[timeout  ] {name}: oracle exceeded {timeout}s in DuckDB "
-                  f"(skipped, not failed)")
-            results[name] = {"rows": len(spark_df), "method": "duckdb",
-                             "match": None, "timeout_s": timeout}
+            print(f"[infeasible] {name}: oracle exceeded {timeout}s in "
+                  f"DuckDB (skipped, not failed)")
+            results[name] = {
+                "rows": len(spark_df), "method": "oracle_infeasible",
+                "match": None, "timeout_s": timeout,
+                "reason": f"DuckDB oracle exceeded the {timeout}s budget "
+                          "at this scale; value-checked at smaller sf"}
             n_timeout += 1
             continue
         except Exception as e:
-            if "INTERRUPT" in str(e).upper():
-                print(f"[timeout  ] {name}: oracle exceeded {timeout}s in "
+            msg = str(e)
+            if "INTERRUPT" in msg.upper():
+                print(f"[infeasible] {name}: oracle exceeded {timeout}s in "
                       f"DuckDB (skipped, not failed)")
-                results[name] = {"rows": len(spark_df), "method": "duckdb",
-                                 "match": None, "timeout_s": timeout}
+                results[name] = {
+                    "rows": len(spark_df), "method": "oracle_infeasible",
+                    "match": None, "timeout_s": timeout,
+                    "reason": f"DuckDB oracle exceeded the {timeout}s "
+                              "budget at this scale; value-checked at "
+                              "smaller sf"}
+                n_timeout += 1
+                continue
+            low = msg.lower()
+            if ("no space left" in low or "out of memory" in low
+                    or "max_temp_directory_size" in low):
+                print(f"[infeasible] {name}: oracle exhausted resources in "
+                      f"DuckDB (skipped, not failed): {msg.splitlines()[0][:120]}")
+                results[name] = {
+                    "rows": len(spark_df), "method": "oracle_infeasible",
+                    "match": None,
+                    "reason": "DuckDB oracle exhausted memory/temp-disk at "
+                              "this scale; value-checked at smaller sf: "
+                              + msg.splitlines()[0][:160]}
                 n_timeout += 1
                 continue
             print(f"[FAIL-sql ] {name}: {e}")
             results[name] = {"rows": len(spark_df), "method": "duckdb",
-                             "match": False, "error": str(e)[:200]}
+                             "match": False, "error": msg[:200]}
             n_fail += 1
             continue
         # Type gate: DESCRIBE both sides in DuckDB; any declared-type drift
@@ -168,14 +215,19 @@ def main(sf_dir, out_dir, timeout=None, json_out=None):
 
 if __name__ == "__main__":
     argv = sys.argv[1:]
-    timeout = None
-    json_out = None
-    if "--timeout" in argv:
-        i = argv.index("--timeout")
-        timeout = float(argv[i + 1])
-        argv = argv[:i] + argv[i + 2:]
-    if "--json" in argv:
-        i = argv.index("--json")
-        json_out = argv[i + 1]
-        argv = argv[:i] + argv[i + 2:]
-    sys.exit(main(argv[0], argv[1], timeout, json_out))
+
+    def opt(flag, cast=str):
+        if flag in argv:
+            i = argv.index(flag)
+            v = cast(argv[i + 1])
+            del argv[i:i + 2]
+            return v
+        return None
+
+    timeout = opt("--timeout", float)
+    json_out = opt("--json")
+    memory_limit = opt("--memory-limit")
+    temp_dir = opt("--temp-dir")
+    only = opt("--only", lambda s: set(s.split(",")))
+    sys.exit(main(argv[0], argv[1], timeout, json_out, memory_limit,
+                  temp_dir, only))

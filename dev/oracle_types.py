@@ -17,13 +17,63 @@ Spark side's precision/scale matches.
 Usage: python3 dev/oracle_types.py <sfDir> <oracleSqlJson>
 Exit 0: no forbidden types. Exit 1: violations (listed as JSON on stdout).
 """
-import sys, os, json
+import sys, os, json, re
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 FORBIDDEN = ("HUGEINT", "UHUGEINT")
+
+# --- money-sum tripwire (round 16) ---------------------------------------
+# The sf10 drift class was ROUND(SUM(double)) over money columns: double
+# addition is association-order-dependent, so Spark's partial-agg order vs
+# DuckDB's serial order flips the last ulp and crosses round(…,2)
+# boundaries at scale — while matching at sf0.01, so the per-round gate
+# can't see it. Every money aggregate must ride DECIMAL. This audit scans
+# each oracle's SUM arguments for a money column with no DECIMAL cast.
+MONEY_RE = re.compile(
+    r"\b(l_extendedprice|l_discount|price|freight_value|value|o_totalprice"
+    r"|p_retailprice|amount|order_revenue|revenue|rev|total_value)\b", re.I)
+# counting sums (SUM(CASE WHEN <money pred> THEN 1 ELSE 0 END)) aggregate
+# integers, not money — exempt
+COUNT_CASE_RE = re.compile(r"THEN\s+\d+\s+ELSE\s+\d+", re.I)
+
+
+def sum_args(sql):
+    """Arguments of every SUM(...) in sql, balanced-paren extracted."""
+    out = []
+    for m in re.finditer(r"\bSUM\s*\(", sql, re.I):
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        out.append(sql[m.end():i - 1])
+    return out
+
+
+def money_sum_violations(sql):
+    """SUM args that reference a money column as DOUBLE (no decimal)."""
+    bad = []
+    for arg in sum_args(sql):
+        idents = set(i.lower() for i in MONEY_RE.findall(arg))
+        if not idents or "DECIMAL" in arg.upper():
+            continue
+        if COUNT_CASE_RE.search(arg):
+            continue  # integer counting sum, not a money aggregate
+        # an identifier (re)defined as a DECIMAL expression earlier in the
+        # same SQL (e.g. `SUM(CAST(x AS DECIMAL(18,6))) AS freight_value`)
+        # is decimal-typed at the point of this SUM — not a violation
+        unresolved = [i for i in idents if not re.search(
+            r"DECIMAL\s*\(\s*\d+\s*,\s*\d+\s*\)\s*\)*\s*AS\s+" + i,
+            sql, re.I)]
+        if unresolved:
+            bad.append({"sum_arg": arg.strip()[:120],
+                        "double_money_cols": sorted(unresolved)})
+    return bad
 
 
 def main(sf_dir, oracle_json):
@@ -51,10 +101,13 @@ def main(sf_dir, oracle_json):
                 violations.setdefault(name, {})[col] = typ
             elif "DECIMAL" in u:
                 decimals.setdefault(name, {})[col] = typ
+    money = {name: v for name in sorted(oracles)
+             if (v := money_sum_violations(oracles[name]))}
     print(json.dumps({"oracles": len(oracles), "violations": violations,
-                      "errors": errors, "decimal_columns": decimals},
+                      "errors": errors, "decimal_columns": decimals,
+                      "double_money_sums": money},
                      indent=1, sort_keys=True))
-    return 1 if (violations or errors) else 0
+    return 1 if (violations or errors or money) else 0
 
 
 if __name__ == "__main__":

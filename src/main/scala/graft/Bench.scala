@@ -203,6 +203,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ephemeral checkpoints (deleted in finally): checksum sidecar files
+      // add nothing and their absence floods WARN "No checksum file found"
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .config("spark.ui.enabled", "false")
       // long query stream in one JVM: ContextCleaner only frees
       // broadcast/shuffle/checkpoint blocks after a driver GC notices

@@ -65,14 +65,21 @@ object BlockScale {
       */
     def probe2(label: String, kCoarse: Int, kFine: Int): Unit = {
       val t0 = System.nanoTime()
-      val blocks = graft.engine.Similarity
+      // ONE kmeansAssign2 call, its frame reused for both the near-dup
+      // blocks and the m2 metric: a second call would re-run the full
+      // two-level training (including its eager localCheckpoints) a
+      // second time outside the timed window — double training cost for
+      // a result that agrees only because the algorithm is
+      // deterministic. The returned frame is lazy but its lineage reads
+      // only the source and the two checkpointed codebooks, so the m2
+      // action below replays one stateless corpus pass, not training.
+      val asg = graft.engine.Similarity
         .kmeansAssign2(emb, kCoarse = kCoarse, kFine = kFine)
-        .select(col("vec_id"), col("block").as("cluster"))
+      val blocks = asg.select(col("vec_id"), col("block").as("cluster"))
       val pairs = graft.engine.Similarity.srpBlockedNearDup(emb, blocks)
       val nPairs = pairs.count()
       val sec = (System.nanoTime() - t0) / 1e9
-      val m2 = graft.engine.Similarity
-        .kmeansAssign2(emb, kCoarse = kCoarse, kFine = kFine)
+      val m2 = asg
         .groupBy("block").count()
         .agg(sum(col("count") * col("count"))).head().getLong(0)
       println(f"[blockscale] $label%-12s k=$kCoarse%dx$kFine%d  $sec%8.2f s  pairs=$nPairs%d  sum|c|^2=$m2%d (${m2.toDouble / n}%.0f per row)")

@@ -95,9 +95,27 @@ object ScaleData {
       val reps = base.withColumn("rep", explode(lit((0 until factor).toArray)))
       val keyed = shifted.foldLeft(reps) { case (df, (key, ref)) =>
         // cast back to the source column's type: the long stride product
-        // must not silently widen a 32-bit key's parquet schema
-        df.withColumn(key, (col(key) + col("rep") * lit(strides(ref)))
-          .cast(base.schema(key).dataType))
+        // must not silently widen a 32-bit key's parquet schema. That
+        // cast is non-ANSI, so first PROVE the largest shifted key fits
+        // the source type — a silent wrap would collide keys across
+        // replicas, the exact distribution dishonesty this generator
+        // exists to avoid. maxKey = stride-1, so the ceiling is
+        // factor·stride - 1.
+        val keyType = base.schema(key).dataType
+        val typeMax: Long = keyType match {
+          case org.apache.spark.sql.types.ByteType    => Byte.MaxValue
+          case org.apache.spark.sql.types.ShortType   => Short.MaxValue
+          case org.apache.spark.sql.types.IntegerType => Int.MaxValue
+          case _                                      => Long.MaxValue
+        }
+        val stride = strides(ref)
+        val ceiling = BigInt(factor) * stride - 1 // BigInt: the guard itself must not wrap
+        require(ceiling <= typeMax,
+          s"$t.$key: shifted key ceiling $ceiling overflows $keyType " +
+            s"(max $typeMax) — refusing to replicate with silent key " +
+            "wrap-around")
+        df.withColumn(key, (col(key) + col("rep") * lit(stride))
+          .cast(keyType))
       }
       val transformed = t match {
         case "documents" =>

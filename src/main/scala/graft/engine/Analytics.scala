@@ -76,8 +76,15 @@ object Analytics {
       round(sum(col("order_revenue")), 2).cast("double").as("total_sales"),
       round(avg(col("delivery_time_days")), 2).as("avg_delivery"),
       count(lit(1)).as("total_orders"),
-      round(sum(col("freight_value")).cast("double") / count(lit(1)), 2).as("avg_freight"),
-      round(sum(col("order_revenue")).cast("double") / count(lit(1)), 2).as("avg_order_value"))
+      // divide by count(<col>), not count(*): SUM(decimal)/COUNT must keep
+      // AVG's NULL semantics (NULL rows excluded from the denominator) or
+      // it silently diverges from the reference dashboard's AVG the day a
+      // money column carries a NULL — and the oracle gate can't catch it,
+      // since both engines would drift together
+      round(sum(col("freight_value")).cast("double")
+        / count(col("freight_value")), 2).as("avg_freight"),
+      round(sum(col("order_revenue")).cast("double")
+        / count(col("order_revenue")), 2).as("avg_order_value"))
   }
 
   /** Top-10 categories by revenue — reference `dashboard/queries.py:40-52`.
@@ -122,7 +129,8 @@ object Analytics {
       .groupBy(col("order_id"), col("customer_state"))
       .agg(moneySum(col("freight_value")).as("freight_value"))
       .groupBy(col("customer_state"))
-      .agg(round(sum(col("freight_value")).cast("double") / count(lit(1)), 2)
+      .agg(round(sum(col("freight_value")).cast("double")
+        / count(col("freight_value")), 2) // count(col): AVG NULL semantics
         .as("avg_freight"))
       .orderBy(col("avg_freight").desc, col("customer_state"))
 

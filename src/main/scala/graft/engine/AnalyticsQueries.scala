@@ -70,8 +70,8 @@ object AnalyticsQueries {
        |SELECT CAST(ROUND(SUM(order_revenue), 2) AS DOUBLE) AS total_sales,
        |       ROUND(AVG(delivery_time_days), 2) AS avg_delivery,
        |       COUNT(*) AS total_orders,
-       |       ROUND(CAST(SUM(freight_value) AS DOUBLE) / COUNT(*), 2) AS avg_freight,
-       |       ROUND(CAST(SUM(order_revenue) AS DOUBLE) / COUNT(*), 2) AS avg_order_value
+       |       ROUND(CAST(SUM(freight_value) AS DOUBLE) / COUNT(freight_value), 2) AS avg_freight,
+       |       ROUND(CAST(SUM(order_revenue) AS DOUBLE) / COUNT(order_revenue), 2) AS avg_order_value
        |FROM per_order""".stripMargin
 
   def oracles: Map[String, String] = Map(
@@ -118,7 +118,7 @@ object AnalyticsQueries {
          |  GROUP BY f.order_id, c.customer_state
          |)
          |SELECT customer_state,
-         |       ROUND(CAST(SUM(freight_value) AS DOUBLE) / COUNT(*), 2) AS avg_freight
+         |       ROUND(CAST(SUM(freight_value) AS DOUBLE) / COUNT(freight_value), 2) AS avg_freight
          |FROM per_order
          |GROUP BY customer_state
          |ORDER BY avg_freight DESC, customer_state""".stripMargin,

@@ -190,7 +190,11 @@ object OperatorQueries {
     "o17_events_hourly" -> ((s, d) =>
       events(s, d)
         .groupBy(date_trunc("hour", col("ts")).as("hour"))
-        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+        .agg(count(lit(1)).as("n_events"),
+          // DECIMAL(18,4) sum (repo-wide money discipline; value carries
+          // ≤4 decimals): exact, order-free, engine-agnostic
+          round(sum(col("value").cast("decimal(18,4)")), 2).cast("double")
+            .as("total_value"))
         .orderBy("hour")),
 
     // events: JSON-ish extraction from props (regexp — portable to the oracle)
@@ -431,7 +435,8 @@ object OperatorQueries {
           |WITH t AS (SELECT date_format(order_purchase_timestamp, 'yyyy-MM') AS period,
           |                  price
           |           FROM fact_sales)
-          |SELECT period, round(sum(price), 2) AS revenue
+          |SELECT period,
+          |       CAST(round(sum(CAST(price AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
           |FROM t GROUP BY 1 ORDER BY 1;
           |```""".stripMargin
       Sql.runSelect(s, llmResponse).get
@@ -617,7 +622,8 @@ object OperatorQueries {
 
     "o17_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n_events,
-        |       ROUND(SUM(value), 2) AS total_value
+        |       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |         AS total_value
         |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
 
     "o18_events_json" ->
@@ -710,7 +716,8 @@ object OperatorQueries {
         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         |  WHERE o.o_orderstatus = 'F'),
         |t AS (SELECT strftime(order_purchase_timestamp, '%Y-%m') AS period, price FROM fact)
-        |SELECT period, ROUND(SUM(price), 2) AS revenue
+        |SELECT period,
+        |       CAST(ROUND(SUM(CAST(price AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -133,7 +133,11 @@ object PipelineQueries {
         .withColumn("order_date", col("order_purchase_timestamp").cast("date"))
         .join(Gold.dimDate(s, d), "order_date")
         .groupBy(col("year"), col("quarter"))
-        .agg(round(sum(col("price")), 2).as("revenue"))
+        // DECIMAL(18,4) sum (the repo-wide money discipline): exact and
+        // association-order-free, so the 2-decimal round can't flip
+        // between engines at larger SF
+        .agg(round(sum(col("price").cast("decimal(18,4)")), 2)
+          .cast("double").as("revenue"))
         .orderBy("year", "quarter")),
 
     // as-of join: each event matched to its user's latest order at-or-
@@ -182,7 +186,8 @@ object PipelineQueries {
       Tables.events(s, d)
         .groupBy(window(col("ts"), "1 hour", "30 minutes"))
         .agg(count(lit(1)).as("n_events"),
-          round(sum(col("value")), 2).as("total_value"))
+          round(sum(col("value").cast("decimal(18,4)")), 2).cast("double")
+            .as("total_value")) // decimal money sum: order-free round
         .select(col("window.start").as("window_start"),
           col("n_events"), col("total_value"))
         .orderBy("window_start")),
@@ -502,7 +507,8 @@ object PipelineQueries {
 
     "o36_sliding_window" ->
       """SELECT start AS window_start, COUNT(*) AS n_events,
-        |       ROUND(SUM(value), 2) AS total_value
+        |       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |         AS total_value
         |FROM (SELECT unnest([time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)),
         |                     time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
         |                       - INTERVAL '30 minutes']) AS start,
@@ -523,7 +529,8 @@ object PipelineQueries {
          |         CAST(EXTRACT(year FROM order_date) AS BIGINT) AS year,
          |         CAST(EXTRACT(quarter FROM order_date) AS BIGINT) AS quarter
          |  FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS order_date FROM orders))
-         |SELECT t.year, t.quarter, ROUND(SUM(f.price), 2) AS revenue
+         |SELECT t.year, t.quarter,
+         |       CAST(ROUND(SUM(CAST(f.price AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
          |FROM fact f
          |JOIN dim_time t ON CAST(f.order_purchase_timestamp AS DATE) = t.order_date
          |GROUP BY t.year, t.quarter

@@ -24,22 +24,25 @@ object Similarity {
   /** Corpus with per-row precomputed double vector + its SQUARED norm:
     * the squared norm is folded ONCE, not once per pair — the pair-time
     * cosine is then `dot / sqrt(n2a * n2b)`, the exact operand order of
-    * [[VectorOps.cosine]] and of DuckDB `list_cosine_similarity`
-    * (probed: squared norms multiply FIRST, then one sqrt — an
-    * identical-vector pair is exactly 1.0 under this order, 1+2⁻⁵² under
-    * sqrt(n2a)·sqrt(n2b); the sf10 rehearsal's rotation-invariant
-    * replicas hit the difference in the raw-cos oracles). Also spreads a
-    * single-split corpus across the cluster (array folds are interpreted
-    * per element — the one hot loop in this module that parallelism must
-    * cover).
+    * [[VectorOps.cosine]] and of the oracle's explicit
+    * `list_dot_product(a,b) / sqrt(list_dot_product(a,a) *
+    * list_dot_product(b,b))` (probed: squared norms multiply FIRST, then
+    * one sqrt — an identical-vector pair is exactly 1.0 under this
+    * order, 1+2⁻⁵² under sqrt(n2a)·sqrt(n2b)). The oracles spell the
+    * formula out rather than calling DuckDB `list_cosine_similarity`,
+    * whose fused kernel drifts a last ulp from the naive form on some
+    * pairs (measured at sf0.01, duckdb 1.0.0) and may change across
+    * releases. Also spreads a single-split corpus across the cluster
+    * (array folds are interpreted per element — the one hot loop in this
+    * module that parallelism must cover).
     */
   private def withNorms(emb: DataFrame): DataFrame =
     Spread(emb).withColumn("v", VectorOps.asDouble(col("embedding")))
       .withColumn("n2", VectorOps.normSq(col("v")))
 
   /** Exact top-k cosine neighbors for query vectors `vec_id < nQueries`
-    * (self excluded) — bit-identical to DuckDB `list_cosine_similarity`
-    * on DOUBLE.
+    * (self excluded) — bit-identical to the oracle's explicit
+    * dot/sqrt(n2a·n2b) over DOUBLE (see [[withNorms]]).
     */
   def knnCosine(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
     val e = withNorms(emb)
@@ -365,6 +368,11 @@ object Similarity {
       if (prevCent != null) prevCent.unpersist()
       prevCent = cent
     }
+    // the FINAL round's checkpoint is intentionally NOT unpersisted: it
+    // is the returned frame's only lineage, so releasing it here would
+    // force a full retrain on the caller's first action. The residue is
+    // ≤k centroid rows, freed by the caller's terminal action + GC — the
+    // same bounded trade as pagerankFixedPoint's final rank frame.
     cent
   }
 
@@ -457,7 +465,19 @@ object Similarity {
     // is dead weight from here — release it NOW (the returned frame
     // below reads only the source and the two ≤k-row codebooks)
     qa.unpersist()
-    q.crossJoin(broadcast(coarse))
+    // coverage guard for out-of-training rows: the stateless pass below
+    // inner-joins fineCent on the coarse cell, so a cell with no fine
+    // centroids would silently DROP any vector whose coarse argmin lands
+    // there. Training rows can't hit this (fineCent's cells are exactly
+    // the argmin winners over qa), but "tomorrow's ingest" can — a coarse
+    // centroid may survive its last update round yet win zero rows in the
+    // final qa assignment. Restricting the argmin candidates to covered
+    // cells is a no-op for every training row (its winner is covered by
+    // construction) and routes new rows to their nearest COVERED cell
+    // instead of vanishing. ≤kCoarse-row semi-join, still broadcast.
+    val coveredCoarse =
+      coarse.join(fineCent.select(col("cluster")).distinct(), Seq("cluster"))
+    q.crossJoin(broadcast(coveredCoarse))
       .select(col("vec_id"), col("qv"), col("qn2"), col("cluster"),
         dist2(col("qn2"), col("qv"), col("cn2"), col("cv")).as("d"))
       .groupBy(col("vec_id"))

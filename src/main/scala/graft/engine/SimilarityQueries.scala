@@ -268,14 +268,18 @@ object SimilarityQueries {
          |JOIN asg ab ON ab.vec_id = b.vec_id AND ab.cluster = aa.cluster
          |WHERE bit_count(xor(a.sig, b.sig)) <= 15
          |ORDER BY a, b""".stripMargin,
+    // explicit dot/sqrt(n2·n2) — see o23's note on list_cosine_similarity
     "o42_clustered_neardup" ->
       """WITH e AS (
-        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+        |         list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                          CAST(embedding AS DOUBLE[])) AS n2
         |  FROM embeddings)
-        |SELECT a.vec_id AS a, b.vec_id AS b,
-        |       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
-        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+        |SELECT a, b, ROUND(cos, 6) AS cos FROM (
+        |  SELECT a.vec_id AS a, b.vec_id AS b,
+        |         list_dot_product(a.v, b.v) / sqrt(a.n2 * b.n2) AS cos
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |WHERE cos >= 0.4
         |ORDER BY a, b""".stripMargin,
 
     // replays the strided downsample as hex-pair selection: byte index
@@ -384,8 +388,11 @@ object SimilarityQueries {
         |      ORDER BY qcos DESC, neighbor_id) AS rn FROM qsc)
         |  WHERE rn <= 25),
         |rer AS (
+        |  -- explicit dot/sqrt(n2·n2): see o23's list_cosine_similarity note
         |  SELECT c.query_id, c.neighbor_id,
-        |         list_cosine_similarity(qe.v, ne.v) AS cos
+        |         list_dot_product(qe.v, ne.v)
+        |           / sqrt(list_dot_product(qe.v, qe.v)
+        |                  * list_dot_product(ne.v, ne.v)) AS cos
         |  FROM cand c
         |  JOIN e qe ON qe.vec_id = c.query_id
         |  JOIN e ne ON ne.vec_id = c.neighbor_id),
@@ -396,24 +403,38 @@ object SimilarityQueries {
         |FROM ranked WHERE rn <= 5
         |ORDER BY query_id, ROUND(cos, 6) DESC, neighbor_id""".stripMargin,
 
+    // explicit dot/sqrt(n2·n2) — see o23's note on list_cosine_similarity
     "o30_embedding_neardup" ->
       """WITH e AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |         list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                          CAST(embedding AS DOUBLE[])) AS n2
         |  FROM embeddings WHERE vec_id % 10 = 0)
-        |SELECT a.vec_id AS a, b.vec_id AS b,
-        |       list_cosine_similarity(a.v, b.v) AS cos
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+        |SELECT a, b, cos FROM (
+        |  SELECT a.vec_id AS a, b.vec_id AS b,
+        |         list_dot_product(a.v, b.v) / sqrt(a.n2 * b.n2) AS cos
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |WHERE cos >= 0.4
         |ORDER BY a, b""".stripMargin,
 
+    // cosine spelled EXPLICITLY as dot / sqrt(n2a·n2b) — the exact
+    // operand order of VectorOps.cosine — rather than DuckDB's
+    // list_cosine_similarity, whose fused kernel drifts a last ulp from
+    // the naive form on some pairs (and across DuckDB releases); the
+    // explicit arithmetic is bit-stable on both engines by construction
     "o23_knn_cosine" ->
-      """WITH q AS (
-        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-        |  FROM embeddings WHERE vec_id < 10),
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |         list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                          CAST(embedding AS DOUBLE[])) AS n2
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id AS query_id, v AS qv, n2 AS qn2
+        |  FROM e WHERE vec_id < 10),
         |scored AS (
         |  SELECT q.query_id, e.vec_id AS neighbor_id,
-        |         list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS cos
-        |  FROM q, embeddings e WHERE e.vec_id != q.query_id),
+        |         list_dot_product(q.qv, e.v) / sqrt(q.qn2 * e.n2) AS cos
+        |  FROM q, e WHERE e.vec_id != q.query_id),
         |ranked AS (
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |                               ORDER BY cos DESC, neighbor_id) AS rn
@@ -440,15 +461,21 @@ object SimilarityQueries {
         |q AS (
         |  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
         |probed AS (
+        |  -- explicit dot/sqrt(n2·n2): see o23's list_cosine_similarity note
         |  SELECT query_id, label FROM (
         |    SELECT q.query_id, c.label,
         |           row_number() OVER (PARTITION BY q.query_id
-        |             ORDER BY list_cosine_similarity(q.qv, c.centroid) DESC, c.label) AS rn
+        |             ORDER BY list_dot_product(q.qv, c.centroid)
+        |                        / sqrt(list_dot_product(q.qv, q.qv)
+        |                               * list_dot_product(c.centroid, c.centroid))
+        |                      DESC, c.label) AS rn
         |    FROM q, cent c)
         |  WHERE rn <= 2),
         |scored AS (
         |  SELECT q.query_id, e.vec_id AS neighbor_id,
-        |         list_cosine_similarity(q.qv, e.v) AS cos
+        |         list_dot_product(q.qv, e.v)
+        |           / sqrt(list_dot_product(q.qv, q.qv)
+        |                  * list_dot_product(e.v, e.v)) AS cos
         |  FROM q JOIN probed p ON q.query_id = p.query_id
         |  JOIN e ON e.label = p.label
         |  WHERE e.vec_id != q.query_id),

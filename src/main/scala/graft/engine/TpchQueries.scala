@@ -44,7 +44,7 @@ object TpchQueries {
             .cast("decimal(18,6)")), 2).cast("double").as("sum_disc_price"),
           round(avg(col("l_quantity")), 2).as("avg_qty"),
           round(sum(col("l_discount").cast("decimal(18,6)")).cast("double")
-            / count(lit(1)), 4).as("avg_disc"),
+            / count(col("l_discount")), 4).as("avg_disc"), // count(col): AVG NULL semantics
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
@@ -56,7 +56,11 @@ object TpchQueries {
             col("l_shipdate") < to_timestamp(lit("1996-01-01")) &&
             col("l_discount").between(0.03, 0.05) &&
             col("l_quantity") < 24)
-        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))),
+        // per-row DECIMAL(18,4) before SUM (the t01/t05-t09 discipline):
+        // the true product has ≤4 decimals, so the cast recovers it
+        // exactly and the sum is association-order-free on both engines
+        .agg(round(sum((col("l_extendedprice") * col("l_discount"))
+          .cast("decimal(18,4)")), 2).cast("double").as("revenue"))),
 
     // Q3: shipping-priority top-10 orders for one market segment
     "t03_shipping_priority" -> ((s, d) =>
@@ -66,8 +70,8 @@ object TpchQueries {
         .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
         .filter(col("l_shipdate") > to_timestamp(lit("1997-01-01")))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"))
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")), 2).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)),
 
@@ -141,15 +145,19 @@ object TpchQueries {
 
     // Q14: promotion effect — conditional-aggregate ratio over one month
     "t07_promo_effect" -> ((s, d) => {
-      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      // both sums ride DECIMAL(18,4) (exact, order-free); the ratio is
+      // then ONE IEEE division of two exact values — no float accumulates
+      val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")
       lineitem(s, d)
         .filter(col("l_shipdate") >= to_timestamp(lit("1996-09-01")) &&
           col("l_shipdate") < to_timestamp(lit("1996-10-01")))
         .join(part(s, d).select("p_partkey", "p_type"),
           col("l_partkey") === col("p_partkey"))
         .agg(round(
-          lit(100.0) * sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)))
-            / sum(rev), 2).as("promo_revenue_pct"))
+          lit(100.0) * sum(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(0).cast("decimal(18,4)"))).cast("double")
+            / sum(rev).cast("double"), 2).as("promo_revenue_pct"))
     }),
 
     // Q7 shape: bilateral trade volume — the OR-paired join predicate
@@ -699,7 +707,7 @@ object TpchQueries {
         |       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE)
         |         AS sum_disc_price,
         |       ROUND(AVG(l_quantity), 2) AS avg_qty,
-        |       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4)
+        |       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_discount), 4)
         |         AS avg_disc,
         |       COUNT(*) AS count_order
         |FROM lineitem
@@ -708,7 +716,8 @@ object TpchQueries {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "t02_revenue_delta" ->
-      """SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+      """SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount
+        |                          AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
         |FROM lineitem
         |WHERE CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1995-01-01'
         |  AND CAST(l_shipdate AS TIMESTAMP) < TIMESTAMP '1996-01-01'
@@ -718,7 +727,8 @@ object TpchQueries {
     "t03_shipping_priority" ->
       """SELECT l.l_orderkey, CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
         |       o.o_orderpriority,
-        |       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        |       CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |                          AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
         |FROM customer c
         |JOIN orders o ON c.c_custkey = o.o_custkey
         |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -774,10 +784,12 @@ object TpchQueries {
 
     "t07_promo_effect" ->
       """SELECT ROUND(
-        |         100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
-        |                          THEN l.l_extendedprice * (1 - l.l_discount)
-        |                          ELSE 0.0 END)
-        |         / SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS promo_revenue_pct
+        |         100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+        |                          THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+        |                               AS DECIMAL(18,4))
+        |                          ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |         / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |                         AS DECIMAL(18,4))) AS DOUBLE), 2) AS promo_revenue_pct
         |FROM lineitem l
         |JOIN part p ON l.l_partkey = p.p_partkey
         |WHERE CAST(l.l_shipdate AS TIMESTAMP) >= TIMESTAMP '1996-09-01'

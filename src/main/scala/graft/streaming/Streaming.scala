@@ -91,7 +91,12 @@ object Streaming {
     events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .agg(count(lit(1)).as("n_events"),
+        // DECIMAL(18,4) sum (repo-wide money discipline): exact and
+        // order-free, so micro-batch partial-agg order can't drift the
+        // 2-decimal round vs the batch twin or the oracle
+        round(sum(col("value").cast("decimal(18,4)")), 2).cast("double")
+          .as("total_value"))
       .select(col("window.start").as("hour"), col("n_events"), col("total_value"))
 
   /** Run a (finite) streaming frame to completion with

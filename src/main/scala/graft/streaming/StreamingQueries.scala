@@ -233,7 +233,8 @@ object StreamingQueries {
 
     "s01_streaming_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n_events,
-        |       ROUND(SUM(value), 2) AS total_value
+        |       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |         AS total_value
         |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
 
     "s02_streaming_dedup" ->

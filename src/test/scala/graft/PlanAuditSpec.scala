@@ -271,6 +271,42 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected exactly 1 hash Exchange for the funnel, got $hashEx:\n$plan")
   }
 
+  test("no registry query sums a money column as DOUBLE (decimal discipline tripwire)") {
+    // The sf10 drift class: SUM(double) over money is association-order-
+    // dependent, so Spark's partial-agg order vs DuckDB's serial order
+    // flips the last ulp and crosses round(…,2) boundaries at scale —
+    // while matching at sf0.01, where the per-round gate runs. Every
+    // money aggregate must cast to DECIMAL before summing (`moneySum` /
+    // the t01 discipline). This walks every registry query's ANALYZED
+    // plan and fails on any Sum whose input is floating-point and
+    // references a money column. Counting sums (CASE…THEN 1 ELSE 0 over
+    // a money predicate) aggregate integers, so the dataType check
+    // exempts them naturally. dev/oracle_types.py runs the twin audit
+    // over the DuckDB oracle texts.
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Sum
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    val money = Set("l_extendedprice", "l_discount", "price", "freight_value",
+      "value", "o_totalprice", "p_retailprice", "amount", "order_revenue",
+      "revenue", "rev", "total_value")
+    val offenders = SparkEntry.queries.toSeq.collect {
+      case (name, fn) if !pipelines(name) =>
+        val plan = fn(spark, sf).queryExecution.analyzed
+        val bad = plan.collect { case node =>
+          node.expressions.flatMap(_.collect {
+            case s: Sum if (s.child.dataType == DoubleType ||
+              s.child.dataType == FloatType) &&
+              s.child.references.exists(a => money(a.name)) =>
+              s.child.sql
+          })
+        }.flatten.distinct
+        name -> bad
+    }.filter(_._2.nonEmpty).sortBy(_._1)
+    assert(offenders.isEmpty,
+      "double SUM over money columns (cast to DECIMAL before summing):\n" +
+        offenders.map { case (n, es) => s"  $n: ${es.mkString("; ")}" }
+          .mkString("\n"))
+  }
+
   test("o69's lag + lead + row_number windows share one Exchange over user_id") {
     val plan = plans("o69_scd2_history")
     // the final orderBy adds a rangepartitioning Exchange; the windows

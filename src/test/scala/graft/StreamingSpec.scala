@@ -20,7 +20,9 @@ class StreamingSpec extends AnyFunSuite {
       .agg(org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("n_events"),
         org.apache.spark.sql.functions.round(
-          org.apache.spark.sql.functions.sum("value"), 2).as("total_value"))
+          org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.col("value").cast("decimal(18,4)")),
+          2).cast("double").as("total_value"))
       .orderBy("hour").collect()
     assert(streamed.length == batch.length)
     assert(streamed.zip(batch).forall { case (a, b) => a == b })
