@@ -569,6 +569,125 @@ object Similarity {
       .filter(col("rn") <= k).drop("rn")
   }
 
+  /** PQ (product-quantization) ANN — the compression dial AFTER [[sq8TopK]]
+    * and the stated "next dial" on the two-level codebook
+    * ([[kmeansAssign2]]): vectors are split into `m` contiguous
+    * sub-vectors, each sub-space gets its own `ksub`-entry codebook
+    * (integer-exact Lloyd's, the [[kmeansAssign]] discipline), and every
+    * corpus vector is stored as `m` small codes. Queries never touch
+    * corpus vectors during the candidate scan: a per-query lookup table
+    * (`m·ksub` exact integer sub-distances) turns each candidate's codes
+    * into an asymmetric-distance (ADC) score with `m` table lookups —
+    * the FAISS `PQ8` recipe. The top-`c` ADC survivors per query are
+    * reranked with [[knnCosine]]'s bit-identical exact cosine.
+    *
+    * Scale shape (what each piece costs at 100 TB):
+    *  - TRAINING runs on the deterministic `vec_id % sampleMod` sample
+    *    only (the documented quantizer-trains-on-a-bounded-sample
+    *    contract; the sample is eagerly checkpointed once and released
+    *    after the rounds), seeds from the sample's first `ksub` members,
+    *    and each round is one broadcast join + map-side-combined
+    *    floor-div update per sub-space — no corpus replay, no RNG;
+    *  - ENCODING is one corpus pass against the broadcast codebooks
+    *    (`m·ksub` sub-dots per row), emitted as (vec_id, sub, code) —
+    *    at rest this is `m` bytes per vector (ksub ≤ 256) instead of
+    *    `dims·4+` float bytes, a ~32× scan-payload cut at m=8/dims=64;
+    *  - the ADC scan joins the code table to the ≤`nQueries·m·ksub`-row
+    *    broadcast LUT and partial-aggregates the per-(query, vec) sum
+    *    map-side — the corpus shuffles only (query, vec, partial-ADC)
+    *    rows, never vectors.
+    *
+    * Cross-engine exactness is the o57/o72/x07 discipline end-to-end:
+    * quantized SHIFTED integer sub-vectors, argmin ties to the smaller
+    * code, `sum div count` centroid updates, and every ADC term an
+    * exact integer-valued double (< 2^53), so the candidate cut is
+    * bit-deterministic and the oracle replays it round-for-round.
+    * A (sub, code) cell that loses all sample members drops out (the
+    * kmeansAssign drop-out policy); encoding argmins over surviving
+    * codes only, identically on both engines.
+    */
+  def pqTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5, c: Int = 25,
+             m: Int = 8, ksub: Int = 16, iterations: Int = 2,
+             sampleMod: Int = 10, quantScale: Int = 1000): DataFrame = {
+    val q = quantizedShifted(emb, quantScale)
+    val dsub = size(col("qv")) / lit(m)
+    // (vec_id, sub, sv, sn2): the m contiguous sub-vectors of each row
+    val qs = q.select(col("vec_id"), posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          s => slice(col("qv"), s * dsub + 1, dsub))))
+      .select(col("vec_id"), col("pos").as("sub"), col("col").as("sv"))
+      .withColumn("sn2", VectorOps.normSq(col("sv")))
+    // bounded training sample, materialized once for the rounds
+    val qt = qs.filter(pmod(col("vec_id"), lit(sampleMod)) === 0)
+      .localCheckpoint(true)
+    // deterministic seeds: the sample's first ksub members per sub-space
+    var cb = qt.filter(col("vec_id") < ksub.toLong * sampleMod)
+      .select(col("sub"), expr(s"vec_id div $sampleMod").cast("int").as("code"),
+        col("sv").as("cv"), col("sn2").as("cn2"))
+      .localCheckpoint(true)
+    var prevCb: DataFrame = cb
+    for (_ <- 1 to iterations) {
+      val assigned = qt.join(broadcast(cb), Seq("sub"))
+        .select(col("vec_id"), col("sub"), col("sv"), col("code"),
+          dist2(col("sn2"), col("sv"), col("cn2"), col("cv")).as("d"))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min(struct(col("d"), col("code"))).as("mn"),
+          first(col("sv")).as("sv")) // sv functionally depends on (vec_id, sub)
+      cb = assigned
+        .select(col("sub"), col("mn.code").as("code"), posexplode(col("sv")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(sum(col("col").cast("long")).as("s"), count(lit(1)).as("n"))
+        .select(col("sub"), col("code"), col("pos"),
+          expr("s div n").cast("double").as("v"))
+        .groupBy(col("sub"), col("code"))
+        .agg(collect_list(struct(col("pos"), col("v"))).as("pv"))
+        .select(col("sub"), col("code"),
+          transform(array_sort(col("pv")), x => x.getField("v")).as("cv"))
+        .withColumn("cn2", VectorOps.normSq(col("cv")))
+        .localCheckpoint(true)
+      if (prevCb != null) prevCb.unpersist()
+      prevCb = cb
+    }
+    // training state released; cb (≤ m·ksub rows) is all that survives
+    qt.unpersist()
+    // encode the FULL corpus: per (row, sub) argmin over the broadcast
+    // codebook — m bytes per vector from here on
+    val enc = qs.join(broadcast(cb), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("code"),
+        dist2(col("sn2"), col("sv"), col("cn2"), col("cv")).as("d"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d"), col("code"))).as("mn"))
+      .select(col("vec_id"), col("sub"), col("mn.code").as("code"))
+    // per-query ADC lookup table: exact integer sub-distance to every
+    // (sub, code) cell — ≤ nQueries·m·ksub rows, broadcast
+    val lut = qs.filter(col("vec_id") < nQueries)
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("vec_id").as("query_id"), col("sub"), col("code"),
+        dist2(col("sn2"), col("sv"), col("cn2"), col("cv")).as("d"))
+    val cw = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("neighbor_id"))
+    val cand = enc.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("d")).cast("long").as("adc"))
+      .withColumn("rn", row_number().over(cw))
+      .filter(col("rn") <= c)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact rerank over the c survivors (the sq8TopK tail)
+    val e = withNorms(emb)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v"), col("n2")), "neighbor_id")
+      .join(broadcast(e.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n2").as("qn2"))),
+        "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (VectorOps.dot(col("qv"), col("v")) / sqrt(col("qn2") * col("n2"))).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+  }
+
   /** IVF ANN: probe the `nprobe` clusters whose centroids are most
     * cosine-similar to the query, then exact top-k within the probed
     * clusters only.

@@ -90,6 +90,19 @@ object SimilarityQueries {
       Similarity.kmeansAssign(embeddings(s, d), k = 8, iterations = 3)
         .orderBy("vec_id")),
 
+    // PQ product-quantized ANN: per-sub-space codebooks trained on the
+    // vec_id % 10 sample (integer-exact Lloyd's), corpus stored as m=8
+    // codes, per-query ADC lookup-table scan, exact top-5 rerank of the
+    // top-100 ADC candidates (c=100 measured recall@5 0.86 on the
+    // pseudo-random corpus — PQ's adversarial case; c is the standard
+    // recall dial and the rerank stays ≤ c rows per query). Hash-checked:
+    // the whole candidate cut is integer-exact on both engines (see
+    // Similarity.pqTopK); cos rounded to 6 decimals as x01/x07 do.
+    "x10_pq_ann" -> ((s, d) =>
+      Similarity.pqTopK(embeddings(s, d), nQueries = 10, k = 5, c = 100)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))),
+
     // multimodal frame sampling as PURE BUILTINS over the binary column
     // (Multimodal.sampleFrames' contract — every stride-th fixed-size
     // chunk — expressed as substring-on-binary inside a transform
@@ -163,6 +176,31 @@ object SimilarityQueries {
     })
   )
 
+  /** One synchronous PER-SUB-SPACE k-means round in long
+    * (sub, code, i, cv) form, for the x10 PQ oracle: identical to
+    * [[kmRound]] but the argmin partitions by (vec_id, sub) and the
+    * floor-div update groups by (sub, code, i). Centroid rows carry only
+    * their own sub-space's GLOBAL positions i, so joining on i alone
+    * scopes each distance to the right sub-space. `qt` is the training
+    * sample (vec_id % 10 = 0), matching Similarity.pqTopK.
+    */
+  private def pqRound(prev: String, n: Int): String =
+    s"""pd$n AS (
+       |  SELECT qt.vec_id, qt.sub, c.code,
+       |         SUM((qt.val - c.cv) * (qt.val - c.cv)) AS d
+       |  FROM qt JOIN $prev c ON qt.i = c.i GROUP BY 1, 2, 3),
+       |pa$n AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT vec_id, sub, code,
+       |           row_number() OVER (PARTITION BY vec_id, sub
+       |                              ORDER BY d, code) AS rn
+       |    FROM pd$n) WHERE rn = 1),
+       |p$n AS (
+       |  SELECT a.sub, a.code, qt.i,
+       |         CAST(CAST(SUM(qt.val) AS BIGINT) // COUNT(*) AS DOUBLE) AS cv
+       |  FROM pa$n a JOIN qt ON qt.vec_id = a.vec_id AND qt.sub = a.sub
+       |  GROUP BY 1, 2, 3)""".stripMargin
+
   /** One synchronous k-means round in long (cluster, i, cv) form,
     * parameterized on the previous round's centroid CTE — unrolled like
     * the o70 PageRank oracle (recursive CTEs disallow aggregation in the
@@ -185,6 +223,75 @@ object SimilarityQueries {
        |  FROM a$n a JOIN qe USING (vec_id) GROUP BY 1, 2)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // replays pqTopK stage-for-stage: same shifted quantization, same
+    // m=8 contiguous sub-spaces, codebooks trained on the vec_id % 10
+    // sample seeded from its first 16 members (2 floor-div Lloyd rounds
+    // per sub-space), full-corpus encoding by per-sub argmin, per-query
+    // integer ADC via the (sub, code) lookup table, top-100 cut on
+    // (adc, neighbor_id), exact-cosine rerank in o23's explicit
+    // dot/sqrt(n2·n2) form, top-5, cos rounded to 6 decimals
+    "x10_pq_ann" ->
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |         [round(CAST(x AS DOUBLE) * 1000) + 1000 FOR x IN embedding] AS qv
+         |  FROM embeddings),
+         |qs AS (
+         |  SELECT vec_id, i, val,
+         |         CAST((i - 1) // (dims // 8) AS INTEGER) AS sub
+         |  FROM (SELECT vec_id, unnest(generate_series(1, len(qv))) AS i,
+         |               unnest(qv) AS val, len(qv) AS dims
+         |        FROM q)),
+         |qt AS (SELECT * FROM qs WHERE vec_id % 10 = 0),
+         |p0 AS (
+         |  SELECT sub, CAST(vec_id // 10 AS INTEGER) AS code, i, val AS cv
+         |  FROM qt WHERE vec_id < 160),
+         |${pqRound("p0", 1)},
+         |${pqRound("p1", 2)},
+         |ed AS (
+         |  SELECT qs.vec_id, qs.sub, c.code,
+         |         SUM((qs.val - c.cv) * (qs.val - c.cv)) AS d
+         |  FROM qs JOIN p2 c ON qs.i = c.i GROUP BY 1, 2, 3),
+         |enc AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT vec_id, sub, code,
+         |           row_number() OVER (PARTITION BY vec_id, sub
+         |                              ORDER BY d, code) AS rn
+         |    FROM ed) WHERE rn = 1),
+         |lut AS (
+         |  SELECT qs.vec_id AS query_id, qs.sub, c.code,
+         |         SUM((qs.val - c.cv) * (qs.val - c.cv)) AS d
+         |  FROM qs JOIN p2 c ON qs.i = c.i
+         |  WHERE qs.vec_id < 10 GROUP BY 1, 2, 3),
+         |adc AS (
+         |  SELECT l.query_id, e.vec_id AS neighbor_id,
+         |         CAST(SUM(l.d) AS BIGINT) AS adc
+         |  FROM enc e JOIN lut l ON e.sub = l.sub AND e.code = l.code
+         |  WHERE e.vec_id != l.query_id GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY adc, neighbor_id) AS rn
+         |    FROM adc) WHERE rn <= 100),
+         |ev AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |         list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                          CAST(embedding AS DOUBLE[])) AS n2
+         |  FROM embeddings),
+         |rer AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |         list_dot_product(qv.v, nv.v) / sqrt(qv.n2 * nv.n2) AS cos
+         |  FROM cand c
+         |  JOIN ev qv ON qv.vec_id = c.query_id
+         |  JOIN ev nv ON nv.vec_id = c.neighbor_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY cos DESC, neighbor_id) AS rn
+         |  FROM rer)
+         |SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos
+         |FROM ranked WHERE rn <= 5
+         |ORDER BY query_id, ROUND(cos, 6) DESC, neighbor_id""".stripMargin,
+
     // replays kmeansAssign round-for-round: same shifted quantization,
     // same exact integer distances, same (d, cluster) argmin tie-break,
     // same floor-div centroid update, final assignment vs the round-3

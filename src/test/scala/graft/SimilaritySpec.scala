@@ -102,6 +102,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"SQ8 recall@5 must be >= 0.9, got $recall")
   }
 
+  test("pqTopK: reduces to exact kNN when c covers the corpus; useful recall at c=25") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val n = emb.count().toInt
+    val exact = Similarity.knnCosine(emb, nQueries = 5, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // c >= corpus: every vector survives the ADC cut, so the exact
+    // rerank IS brute force — output must equal knnCosine bit-for-bit
+    val full = Similarity.pqTopK(emb, nQueries = 5, k = 5, c = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(full == exact, "pqTopK with c >= corpus must equal exact kNN")
+    // production cut: m=8 sub-spaces at ksub=16 quantize coarsely (these
+    // pseudo-random vectors are PQ's adversarial case), so c=100 is the
+    // registry's recall dial — measured 0.86; this bound is a regression
+    // floor, not a target
+    val exact10 = Similarity.knnCosine(emb, nQueries = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopK(emb, nQueries = 10, k = 5, c = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact10 intersect pq).size.toDouble / exact10.size
+    assert(recall >= 0.7, s"PQ recall@5 must be >= 0.7, got $recall")
+  }
+
   /** Same 3 orthogonal clusters as `clustered`, but ids interleaved so
     * that `vec_id % 3` is the true cluster — the deterministic
     * `vec_id < k` seeding then starts with one seed per true cluster.
