@@ -58,7 +58,20 @@ object Gold {
       val sl = Quality.gate(
         Medallion.silverLineitem(Tables.lineitem(spark, sfDir)), Quality.lineitemChecks)
         .persist()
+      // the gold fact's money columns are DECIMAL(18,4) ON DISK (round
+      // 16): exactness becomes a property of the schema instead of a
+      // per-query cast convention — every downstream money aggregate is
+      // association-order-free by construction, and a new consumer
+      // cannot reintroduce the SUM(double) drift class by forgetting a
+      // cast. Values are unchanged: price carries ≤2 decimals (exact in
+      // DECIMAL(18,4) both ways), and freight's double product is
+      // canonicalized to its exact ≤4-decimal value (the t01 disc_price
+      // argument; the oracle factSql applies the same canonicalization).
       val fact = Medallion.factSales(so, sl)
+        .withColumn("price",
+          col("price").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+        .withColumn("freight_value",
+          col("freight_value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
         .withColumn("order_month",
           date_format(col("order_purchase_timestamp"), "yyyy-MM"))
       // the six layer writes are independent of each other — submit them
@@ -96,8 +109,25 @@ object Gold {
   /** Gold fact in the canonical column order of [[Medallion.factSales]]
     * (the `order_month` partition column stays available for pruning but
     * is projected away here so downstream schemas are unchanged).
+    *
+    * Money columns read back as DOUBLE for the legacy consumer surface:
+    * the on-disk schema is DECIMAL(18,4) (see [[ensure]]) and the
+    * decimal→double conversion is exact for ≤4-decimal money values, so
+    * every pre-round-16 consumer sees bit-identical doubles. Consumers
+    * that aggregate money should prefer [[factDecimal]] and skip the
+    * double detour entirely.
     */
   def fact(spark: SparkSession, sfDir: String): DataFrame =
+    factDecimal(spark, sfDir)
+      .withColumn("price", col("price").cast("double"))
+      .withColumn("freight_value", col("freight_value").cast("double"))
+
+  /** Gold fact with its NATIVE decimal money schema (price and
+    * freight_value as DECIMAL(18,4)) — the end-to-end exact-money
+    * surface: silver → gold → aggregate without any floating-point
+    * representation in between.
+    */
+  def factDecimal(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"${ensure(spark, sfDir)}/fact_sales")
       .select("order_id", "line_id", "customer_id", "product_id", "price",
         "freight_value", "order_purchase_timestamp", "delivery_time_days")

@@ -57,17 +57,40 @@ object MedallionQueries {
     "m06_fact_sales" -> ((s, d) =>
       Gold.fact(s, d).orderBy("order_id", "line_id", "customer_id",
         "product_id", "price", "freight_value", "order_purchase_timestamp",
-        "delivery_time_days"))
+        "delivery_time_days")),
+
+    // end-to-end DECIMAL gold: monthly money rollup straight off the
+    // decimal-typed fact — no cast anywhere in the query; the schema
+    // itself guarantees the sums are exact and order-free. Output stays
+    // DECIMAL(28,4) (Spark's sum-over-decimal(18,4) result type), and
+    // the oracle declares the same type, so the driver's type-sensitive
+    // hash pins the schema property, not just the values.
+    "m07_gold_decimal_monthly" -> ((s, d) =>
+      Gold.factDecimal(s, d)
+        .groupBy(date_format(col("order_purchase_timestamp"), "yyyy-MM").as("month"))
+        .agg(sum(col("price")).as("revenue"),
+          sum(col("freight_value")).as("freight"))
+        .orderBy("month"))
   )
 
   /** Shared DuckDB CTE for the gold fact — inlined into oracles below and
     * in [[AnalyticsQueries]].
+    *
+    * freight_value rides DECIMAL(18,4) and back (round 16): the gold
+    * fact stores money as DECIMAL(18,4) on disk, which canonicalizes the
+    * double product `l_extendedprice * l_tax` to its exact ≤4-decimal
+    * value. The same decimal round-trip here keeps the oracle's
+    * passthrough doubles bit-identical to Spark's read-back — without it
+    * a row whose raw product sits a half-ulp past a 4-decimal midpoint
+    * would differ in the last ulp. price needs no round-trip: a
+    * ≤2-decimal value is the same double on both paths.
     */
   val factSql: String =
     """SELECT l.l_orderkey AS order_id, l.l_linenumber AS line_id,
       |       o.o_custkey AS customer_id, l.l_partkey AS product_id,
       |       l.l_extendedprice AS price,
-      |       l.l_extendedprice * l.l_tax AS freight_value,
+      |       CAST(CAST(l.l_extendedprice * l.l_tax AS DECIMAL(18,4)) AS DOUBLE)
+      |         AS freight_value,
       |       CAST(o.o_orderdate AS TIMESTAMP) AS order_purchase_timestamp,
       |       CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
       |                      CAST(l.l_shipdate AS DATE)) AS BIGINT) AS delivery_time_days
@@ -135,6 +158,13 @@ object MedallionQueries {
          |SELECT * FROM fact
          |ORDER BY order_id, line_id, customer_id, product_id, price,
          |         freight_value, order_purchase_timestamp,
-         |         delivery_time_days""".stripMargin
+         |         delivery_time_days""".stripMargin,
+
+    "m07_gold_decimal_monthly" ->
+      s"""WITH fact AS ($factSql)
+         |SELECT strftime(order_purchase_timestamp, '%Y-%m') AS month,
+         |       CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS revenue,
+         |       CAST(SUM(CAST(freight_value AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS freight
+         |FROM fact GROUP BY 1 ORDER BY month""".stripMargin
   )
 }
