@@ -65,8 +65,14 @@ object StageProbe {
         case Some(fn) =>
           stages.synchronized(stages.clear())
           val t0 = System.nanoTime()
-          val rows = fn(spark, sfDir).count()
+          // drain through the noop v2 sink, EXACTLY like Bench: .count()
+          // over a query ending in a global aggregate lets Catalyst prune
+          // the aggregate's inputs (1 row regardless), deleting the very
+          // windows/shuffles this probe exists to measure (observed on
+          // o74: count() measured a bare scan, noop the real funnel)
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           val sec = (System.nanoTime() - t0) / 1e9
+          val rows = -1L // noop reports no count; row counts live in Verify
           // listener events are posted asynchronously; give the bus a
           // beat to drain before reading the buffer (listenerBus is
           // private[spark]; a fixed settle is fine for a dev probe)
