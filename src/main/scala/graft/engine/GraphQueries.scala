@@ -46,20 +46,26 @@ object GraphQueries {
   def oracles: Map[String, String] = {
     // one synchronous integer-exact round, parameterized on the previous
     // round's CTE name — unrolled because recursive CTEs (Postgres rule,
-    // DuckDB same) disallow aggregation in the recursive term
+    // DuckDB same) disallow aggregation in the recursive term.
+    // Every CTE is AS MATERIALIZED: DuckDB inlines single-use CTEs, so
+    // the un-hinted 5-round chain plans as one 5-deep join pipeline
+    // whose working set at sf10 exhausted 37 GB of spill temp (the r15
+    // sweep's one undecidable row). Materialized, each round evaluates
+    // once into a |V|-row temp and the sweep decides o70 in ~9 min
+    // under a 40 GB temp cap (measured, rank-exact vs the Spark dump).
     def round(prev: String, cur: String): String =
-      s"""$cur AS (
+      s"""$cur AS MATERIALIZED (
          |  SELECT ed.dst AS node,
          |         150000 + (85 * SUM($prev.rank // deg.deg)) // 100 AS rank
          |  FROM ed JOIN deg USING (src) JOIN $prev ON $prev.node = ed.src
          |  GROUP BY ed.dst)""".stripMargin
     Map(
       "o70_pagerank" ->
-        s"""WITH e0 AS (
+        s"""WITH e0 AS MATERIALIZED (
            |  SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b FROM lineitem),
-           |ed AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0),
-           |deg AS (SELECT src, COUNT(*) AS deg FROM ed GROUP BY src),
-           |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank FROM deg),
+           |ed AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0),
+           |deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM ed GROUP BY src),
+           |r0 AS MATERIALIZED (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank FROM deg),
            |${round("r0", "r1")},
            |${round("r1", "r2")},
            |${round("r2", "r3")},
