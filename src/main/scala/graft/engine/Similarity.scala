@@ -331,12 +331,24 @@ object Similarity {
     * [[kmeansAssign2]] (coarse stage of the two-level codebook).
     */
   private def lloydCentroids(q: DataFrame, k: Int, iterations: Int): DataFrame = {
-    var cent = q.filter(col("vec_id") < k)
+    // ≥1 round required: with 0 rounds the returned init codebook would
+    // still read the training cache released below
+    require(iterations >= 1, "lloydCentroids needs at least one round")
+    // materialize the quantized corpus ONCE for the training rounds: the
+    // quantization rides a transform() lambda (higher-order functions are
+    // CodegenFallback — interpreted per element), so a lazy `q` replays
+    // scan + interpreted re-quantization EVERY round — iterations× the
+    // corpus cost for identical bits. Released before returning; the
+    // caller's final assignment pass pays exactly one fresh scan. At
+    // 100 TB the quantizer trains on a bounded sample and this cached
+    // frame IS the sample (the kmeansAssign2/pqTopK contract).
+    val qT = q.localCheckpoint(true)
+    var cent = qT.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cluster"),
         col("qv").as("cv"), col("qn2").as("cn2"))
     var prevCent: DataFrame = null
     for (_ <- 1 to iterations) {
-      val assigned = q.crossJoin(broadcast(cent))
+      val assigned = qT.crossJoin(broadcast(cent))
         .select(col("vec_id"), col("qv"), col("cluster"),
           dist2(col("qn2"), col("qv"), col("cn2"), col("cv")).as("d"))
         .groupBy(col("vec_id"))
@@ -368,6 +380,9 @@ object Similarity {
       if (prevCent != null) prevCent.unpersist()
       prevCent = cent
     }
+    // training corpus cache released here (the final centroid frame is
+    // eagerly checkpointed, so nothing downstream reads qT).
+    qT.unpersist()
     // the FINAL round's checkpoint is intentionally NOT unpersisted: it
     // is the returned frame's only lineage, so releasing it here would
     // force a full retrain on the caller's first action. The residue is
