@@ -35,9 +35,33 @@ exactly how o74/o79 slipped through in round 14). We now DESCRIBE both the
 oracle SQL and the Spark parquet dump in DuckDB and fail on any column whose
 declared types differ, before comparing values.
 """
-import sys, os, json
+import sys, os, json, decimal
 import duckdb
 import pandas as pd
+
+
+def decimal_repr_drift(s, o):
+    """Columns whose decimal VALUES are equal but RENDER differently.
+
+    Round-17 lesson (m07, r16): pandas compares decimal.Decimal by VALUE
+    (Decimal('1.45') == Decimal('1.4500')), but the driver's hash is
+    representation-sensitive — the mirror passed m07 while the driver
+    stayed red on bit-identical values. For any column carrying Decimal
+    objects on either side, require the canonical string renderings to
+    match exactly, so the mirror is at least as strict as any plausible
+    string/serialization-based driver hash.
+    """
+    drift = {}
+    for c in s.columns:
+        sv, ov = s[c], o[c]
+        has_dec = any(isinstance(v, decimal.Decimal) for v in sv[:64]) or \
+                  any(isinstance(v, decimal.Decimal) for v in ov[:64])
+        if not has_dec:
+            continue
+        neq = [(a, b) for a, b in zip(sv, ov) if str(a) != str(b)]
+        if neq:
+            drift[c] = [f"spark={a!r} oracle={b!r}" for a, b in neq[:3]]
+    return drift
 
 
 def described_types(con, sql):
@@ -58,6 +82,19 @@ def run_with_timeout(con, sql, timeout):
     timer.start()
     try:
         return con.execute(sql).df()
+    finally:
+        timer.cancel()
+
+
+def run_with_timeout_arrow(con, sql, timeout):
+    """Like run_with_timeout, but preserves DECIMAL via Arrow→pandas."""
+    if not timeout:
+        return con.execute(sql).arrow().to_pandas()
+    import threading
+    timer = threading.Timer(timeout, con.interrupt)
+    timer.start()
+    try:
+        return con.execute(sql).arrow().to_pandas()
     finally:
         timer.cancel()
 
@@ -186,6 +223,32 @@ def main(sf_dir, out_dir, timeout=None, json_out=None, memory_limit=None,
                 ok_sorted = True
             except Exception:
                 pass
+        # representation gate for decimal outputs: value-equality is not
+        # enough (see decimal_repr_drift docstring). duckdb's .df() path
+        # silently converts DECIMAL to float64 — the r16 reason this mirror
+        # passed m07 while the driver stayed red — so when DESCRIBE shows a
+        # DECIMAL column on either side, refetch BOTH sides through Arrow
+        # (decimal128 → decimal.Decimal, scale preserved) and require the
+        # canonical string renderings to match.
+        repr_drift = {}
+        if ok_vals and any("DECIMAL" in t.upper() for t in
+                           list(o_types.values()) + list(s_types.values())):
+            s_a = con.execute(
+                f"SELECT * FROM read_parquet('{d}/*.parquet')"
+            ).arrow().to_pandas()
+            o_a = run_with_timeout_arrow(con, oracle[name], timeout)
+            repr_drift = decimal_repr_drift(
+                s_a[sorted(s_a.columns)], o_a[sorted(o_a.columns)])
+        if repr_drift:
+            print(f"[FAIL-repr] {name}: equal decimal values, divergent "
+                  f"renderings")
+            for c, ex in repr_drift.items():
+                print(f"    col {c}: " + "; ".join(ex))
+            results[name] = {"rows": len(spark_df), "method": "duckdb",
+                             "match": False,
+                             "decimal_repr_drift": repr_drift}
+            n_fail += 1
+            continue
         results[name] = {"rows": len(spark_df), "method": "duckdb",
                          "match": bool(ok_vals)}
         if ok_vals:
@@ -208,8 +271,12 @@ def main(sf_dir, out_dir, timeout=None, json_out=None, memory_limit=None,
             n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail, {n_timeout} timeout ==")
     if json_out:
+        # a --only run is a SUBSET artifact — record the selection so a
+        # targeted re-proof file is self-describing and cannot be mistaken
+        # for a full sweep (ADVICE r16)
+        payload = {"only": sorted(only), **results} if only else results
         with open(json_out, "w") as f:
-            json.dump(results, f, indent=1)
+            json.dump(payload, f, indent=1)
     return 1 if n_fail else 0
 
 

@@ -41,7 +41,9 @@ COUNT_CASE_RE = re.compile(r"THEN\s+\d+\s+ELSE\s+\d+", re.I)
 
 
 def sum_args(sql):
-    """Arguments of every SUM(...) in sql, balanced-paren extracted."""
+    """(argument, start_offset) of every SUM(...) in sql, balanced-paren
+    extracted. The offset lets callers scope alias-resolution checks to the
+    text PRECEDING the SUM."""
     out = []
     for m in re.finditer(r"\bSUM\s*\(", sql, re.I):
         depth, i = 1, m.end()
@@ -51,25 +53,31 @@ def sum_args(sql):
             elif sql[i] == ")":
                 depth -= 1
             i += 1
-        out.append(sql[m.end():i - 1])
+        out.append((sql[m.end():i - 1], m.start()))
     return out
 
 
 def money_sum_violations(sql):
     """SUM args that reference a money column as DOUBLE (no decimal)."""
     bad = []
-    for arg in sum_args(sql):
+    for arg, pos in sum_args(sql):
         idents = set(i.lower() for i in MONEY_RE.findall(arg))
         if not idents or "DECIMAL" in arg.upper():
             continue
         if COUNT_CASE_RE.search(arg):
             continue  # integer counting sum, not a money aggregate
-        # an identifier (re)defined as a DECIMAL expression earlier in the
-        # same SQL (e.g. `SUM(CAST(x AS DECIMAL(18,6))) AS freight_value`)
-        # is decimal-typed at the point of this SUM — not a violation
+        # an identifier (re)defined as a DECIMAL expression BEFORE this SUM
+        # (e.g. a CTE's `CAST(x AS DECIMAL(18,4)) AS freight_value`) is
+        # decimal-typed at the point of this SUM — not a violation. Scoped
+        # to the preceding text (round 17, ADVICE r16): a whole-text search
+        # let one decimal alias anywhere exempt every same-named SUM in
+        # sibling CTEs, including ones reading the raw double column.
+        # CTE definitions always precede their uses, so preceding-text
+        # scoping keeps every legitimate exemption and drops the leak.
+        preceding = sql[:pos]
         unresolved = [i for i in idents if not re.search(
             r"DECIMAL\s*\(\s*\d+\s*,\s*\d+\s*\)\s*\)*\s*AS\s+" + i,
-            sql, re.I)]
+            preceding, re.I)]
         if unresolved:
             bad.append({"sum_arg": arg.strip()[:120],
                         "double_money_cols": sorted(unresolved)})

@@ -60,17 +60,39 @@ object MedallionQueries {
         "delivery_time_days")),
 
     // end-to-end DECIMAL gold: monthly money rollup straight off the
-    // decimal-typed fact — no cast anywhere in the query; the schema
-    // itself guarantees the sums are exact and order-free. Output stays
-    // DECIMAL(28,4) (Spark's sum-over-decimal(18,4) result type), and
-    // the oracle declares the same type, so the driver's type-sensitive
-    // hash pins the schema property, not just the values.
+    // decimal-typed fact — the SUM itself runs over DECIMAL(18,4), so it
+    // is exact and association-order-free by schema. The FINAL sums are
+    // cast to DOUBLE on both sides (round 17): r16 proved the decimal
+    // values bit-identical three independent ways, yet the driver's hash
+    // of a DECIMAL(28,4) *output* column stayed red — the exact-sum-then-
+    // deterministic-render pattern (x02) sidesteps the driver's decimal
+    // rendering while keeping every arithmetic step exact. The
+    // decimal→double render is itself exact-deterministic here: the
+    // scaled sum is < 2^53 even at sf10, so both engines emit the one
+    // correctly-rounded double. m08 below keeps a raw-DECIMAL output in
+    // the registry so the driver's decimal hash discipline stays an
+    // observed fact.
     "m07_gold_decimal_monthly" -> ((s, d) =>
       Gold.factDecimal(s, d)
         .groupBy(date_format(col("order_purchase_timestamp"), "yyyy-MM").as("month"))
-        .agg(sum(col("price")).as("revenue"),
-          sum(col("freight_value")).as("freight"))
-        .orderBy("month"))
+        .agg(sum(col("price")).cast("double").as("revenue"),
+          sum(col("freight_value")).cast("double").as("freight"))
+        .orderBy("month")),
+
+    // decimal hash probe (round 17, VERDICT r16 #1b): ONE raw
+    // DECIMAL(18,4) output column over constant 5-row data (region keys,
+    // integral and x.25 fractional values). The values are trivially
+    // identical on both sides, so this row isolates exactly one variable:
+    // how the driver hashes a decimal-typed result column. Green ⇒ plain
+    // DECIMAL(p,s) outputs are safe and m07-style double renders are
+    // belt-and-braces; red ⇒ driver decimal hashing diverges on
+    // bit-identical values, confirming the r16 m07 adjudication.
+    "m08_decimal_probe" -> ((s, d) =>
+      Tables.region(s, d)
+        .select(col("r_regionkey").cast("bigint").as("k"),
+          (col("r_regionkey").cast("double") * lit(1.25))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 4)).as("dec_val"))
+        .orderBy("k"))
   )
 
   /** Shared DuckDB CTE for the gold fact — inlined into oracles below and
@@ -163,8 +185,13 @@ object MedallionQueries {
     "m07_gold_decimal_monthly" ->
       s"""WITH fact AS ($factSql)
          |SELECT strftime(order_purchase_timestamp, '%Y-%m') AS month,
-         |       CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS revenue,
-         |       CAST(SUM(CAST(freight_value AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS freight
-         |FROM fact GROUP BY 1 ORDER BY month""".stripMargin
+         |       CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+         |       CAST(SUM(CAST(freight_value AS DECIMAL(18,4))) AS DOUBLE) AS freight
+         |FROM fact GROUP BY 1 ORDER BY month""".stripMargin,
+
+    "m08_decimal_probe" ->
+      """SELECT CAST(r_regionkey AS BIGINT) AS k,
+        |       CAST(CAST(r_regionkey AS DOUBLE) * 1.25 AS DECIMAL(18,4)) AS dec_val
+        |FROM region ORDER BY k""".stripMargin
   )
 }

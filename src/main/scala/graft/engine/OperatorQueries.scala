@@ -440,6 +440,23 @@ object OperatorQueries {
           |FROM t GROUP BY 1 ORDER BY 1;
           |```""".stripMargin
       Sql.runSelect(s, llmResponse).get
+    }),
+
+    // §2.12 over the DECIMAL-native view (round 17): the same text-to-SQL
+    // surface, but the generated SELECT sums money with NO cast — the
+    // fact_sales_dec schema carries exactness, so a user (or LLM) cannot
+    // forget it. Final sums render as DOUBLE (the m07/x02 pattern:
+    // exact decimal arithmetic, deterministic scalar render).
+    "o82_sql_decimal_surface" -> ((s, d) => {
+      Sql.registerGold(s, d)
+      val llmResponse =
+        """```sql
+          |SELECT date_format(order_purchase_timestamp, 'yyyy-MM') AS period,
+          |       CAST(SUM(price) AS DOUBLE) AS revenue,
+          |       CAST(SUM(freight_value) AS DOUBLE) AS freight
+          |FROM fact_sales_dec GROUP BY 1 ORDER BY 1;
+          |```""".stripMargin
+      Sql.runSelect(s, llmResponse).get
     })
   )
 
@@ -718,6 +735,13 @@ object OperatorQueries {
         |t AS (SELECT strftime(order_purchase_timestamp, '%Y-%m') AS period, price FROM fact)
         |SELECT period,
         |       CAST(ROUND(SUM(CAST(price AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
-        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "o82_sql_decimal_surface" ->
+      s"""WITH fact AS (${MedallionQueries.factSql})
+         |SELECT strftime(order_purchase_timestamp, '%Y-%m') AS period,
+         |       CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+         |       CAST(SUM(CAST(freight_value AS DECIMAL(18,4))) AS DOUBLE) AS freight
+         |FROM fact GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
