@@ -27,6 +27,23 @@ import org.apache.spark.sql.functions._
   *    preserving and (for these pseudo-random vectors) decorrelating,
   *    so cosine near-dup pair counts also stay ~linear while brute-force
   *    and IVF kNN cost scales exactly with corpus size;
+  *  - every timestamp column (orders.o_orderdate, lineitem.l_shipdate,
+  *    events.ts) shifts by `rep × T`, where T is ONE global stride (the
+  *    union span of all three columns, day-ceiled, +8 days margin — wider
+  *    than any window/interval a query uses). Replicas become
+  *    time-DISJOINT, so interval density stays flat under replication —
+  *    a 10× corpus means 10× history, not 10× traffic crammed into the
+  *    same dates (the round-16 o33 finding: fixed-span replication made
+  *    matches-per-7-day-bin grow with the replication factor, and the
+  *    range join's true output grew quadratically). One shared stride —
+  *    not per-column spans — keeps every cross-table time relation
+  *    translation-invariant inside a replica: datediff(l_shipdate,
+  *    o_orderdate), the as-of event→order lookup, and the dim_time grain
+  *    join all see exactly their rep-0 values. Queries with absolute
+  *    date literals (the TPC-H-shaped q-suite) intentionally keep
+  *    constant-size output under this model — they select a fixed
+  *    historical slice, which is what a date-literal query over a
+  *    growing archive does in production;
   *  - rep 0 is byte-identical to the source, so every sf0.1 result is a
   *    subset of the sf1 input.
   */
@@ -64,6 +81,14 @@ object ScaleData {
       "label"  -> ("embeddings", "label"))
   )
 
+  /** Timestamp columns shifted by `rep × T` (one GLOBAL stride across all
+    * of them — see the class doc's time-disjointness argument).
+    */
+  private val timePlan: Map[String, Seq[String]] = Map(
+    "orders"   -> Seq("o_orderdate"),
+    "lineitem" -> Seq("l_shipdate"),
+    "events"   -> Seq("ts"))
+
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val destDir = args.lift(1).getOrElse("testdata-sf1")
@@ -88,6 +113,25 @@ object ScaleData {
       keyPlan.values.flatten.map(_._2).toSeq.distinct.map { case ref @ (t, c) =>
         ref -> (src(t).agg(max(col(c)).cast("long")).head.getLong(0) + 1L)
       }.toMap
+
+    // ONE time stride for every timestamp column: union span of all of
+    // them, day-ceiled, +8 days margin (wider than any query window: the
+    // o33 7-day interval, the 1h/30m sliding windows, session gaps). A
+    // single shared value keeps cross-table time relations
+    // translation-invariant within a replica. Whole days + day-time
+    // interval arithmetic so the driver's TIMESTAMP_NTZ physical type is
+    // preserved exactly (unix_micros/timestamp_micros would force LTZ
+    // and silently flip the parquet isAdjustedToUTC flag).
+    val timeStrideDays: Long = {
+      val spans = timePlan.toSeq.flatMap { case (t, cols) =>
+        cols.map { c =>
+          val r = src(t).agg(
+            min(col(c).cast("date")), max(col(c).cast("date"))).head
+          (r.getDate(0).toLocalDate.toEpochDay, r.getDate(1).toLocalDate.toEpochDay)
+        }
+      }
+      spans.map(_._2).max - spans.map(_._1).min + 1 + 8
+    }
 
     def replicate(t: String): DataFrame = {
       val base = src(t)
@@ -117,11 +161,18 @@ object ScaleData {
         df.withColumn(key, (col(key) + col("rep") * lit(stride))
           .cast(keyType))
       }
+      // per-replica time shift (exact whole-day interval arithmetic,
+      // NTZ-preserving; rep 0 adds 0 days, preserving byte-identity)
+      val timed = timePlan.getOrElse(t, Seq.empty).foldLeft(keyed) {
+        case (df, c) =>
+          df.withColumn(c,
+            col(c) + make_dt_interval(col("rep") * lit(timeStrideDays)))
+      }
       val transformed = t match {
         case "documents" =>
           // suffix every word for rep>0: shingles across replicas are
           // disjoint, so near-dup structure grows linearly, not as clones
-          keyed.withColumn("text",
+          timed.withColumn("text",
             when(col("rep") === 0, col("text")).otherwise(
               array_join(
                 transform(split(col("text"), " "),
@@ -133,7 +184,7 @@ object ScaleData {
           // don't degenerate. The pmod guard matters for factor >
           // embedding dimension: an unguarded rep there drives
           // slice() lengths negative and silently corrupts vectors
-          keyed
+          timed
             .withColumn("__r", pmod(col("rep"), size(col("embedding"))))
             .withColumn("embedding",
               when(col("__r") === 0, col("embedding")).otherwise(
@@ -142,7 +193,7 @@ object ScaleData {
                     size(col("embedding")) - col("__r")),
                   slice(col("embedding"), lit(1), col("__r")))))
             .drop("__r")
-        case _ => keyed
+        case _ => timed
       }
       transformed.drop("rep")
     }
