@@ -9,7 +9,15 @@ the driver; rows are compared both in emitted order and sorted.
 
 Usage: python3 dev/check_oracle.py <sfDir> <verifyOutDir> [--timeout SECS]
        [--json OUT] [--memory-limit SIZE] [--temp-dir DIR[:MAXSIZE]]
-       [--only q1,q2,...]
+       [--only q1,q2,...] [--replica-proof q1,q2,...]
+       [--proof-src SMALL_SF_DIR] [--proof-cache DIR]
+
+--replica-proof: check the named queries by REPLICA-STRUCTURE PROOF instead
+of running their (infeasible) all-pairs oracle — see PROOF_SPEC below for
+the argument and which queries are eligible. --proof-src is the small-sf
+table dir the truth anchors to (default /root/testdata/sf0.1);
+--proof-cache caches the one heavy all-pairs truth run per query as
+parquet (default target/proof_truth), shared by the sf1 and sf10 sweeps.
 
 --timeout: per-oracle wall-clock budget; a DuckDB run past it is interrupted
 and recorded as `oracle_infeasible` with an explicit reason (skipped, not
@@ -72,6 +80,108 @@ def described_types(con, sql):
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# --- replica-structure proofs (round 17) -----------------------------------
+# The three text-dedup oracles are all-pairs exact Jaccard — DuckDB-
+# infeasible beyond sf0.1 (>240 s / >900 s budgets at sf1/sf10). But the
+# rehearsal GENERATOR (graft.ScaleData) gives them a decidable structure:
+# every word in replica r>0 carries an injective per-replica suffix (_rN),
+# so (a) shingle sets are DISJOINT across replicas — a cross-replica pair
+# has Jaccard 0, below any τ>0 — and (b) within a replica the shingle map
+# is injective, so |A∩B| / |A∪B| is IDENTICAL to the rep-0 value (Jaccard
+# only sees set cardinalities). Both are generator facts, independent of
+# the Spark code under test (corpus pre-checked: zero rep-0 tokens match
+# the _r\d+$ suffix scheme, so the injection cannot collide). Therefore
+# the sf{N} truth is EXACTLY `factor` id-shifted copies of the sf0.1
+# truth, and equality against that expansion is a complete check, not a
+# sample: it pins the absence of cross-replica pairs, the presence of
+# every within-replica pair, and bit-identical Jaccard doubles (integer
+# set sizes → the same IEEE division in every replica). The rep-0 slice
+# is anchored to an INDEPENDENT DuckDB all-pairs run on the small-sf
+# tables (computed once, cached as parquet).
+#   shift: id columns that translate by rep × stride (stride = small-sf
+#          max doc_id + 1); the proof checks all of them land in the SAME
+#          replica and maps them back with % stride.
+#   keep:  replica-invariant columns that must match the small-sf truth
+#          exactly (Jaccard doubles, keep-flags).
+PROOF_SPEC = {
+    "o22_minhash_lsh_jaccard": {"shift": ["a", "b"], "keep": ["jaccard"]},
+    "o53_ngram_prefix_jaccard": {"shift": ["a", "b"], "keep": ["jaccard"]},
+    # components of a replica-disjoint pair graph are replica-local, and
+    # comp = min doc_id of the component translates like any id
+    "o54_dedup_components": {"shift": ["doc_id", "comp"], "keep": ["is_kept"]},
+}
+
+
+def replica_proof(name, dump_dir, oracle_sql, proof_src, cache_dir):
+    """Prove a big-sf Spark dump equals factor × shifted small-sf truth.
+
+    Returns a result row for the CORRECTNESS artifact. Multiset equality
+    (EXCEPT ALL both directions) over the normalized dump vs the truth
+    crossed with every replica id, plus a cross-replica guard.
+    """
+    spec = PROOF_SPEC[name]
+    con2 = duckdb.connect()  # fresh: small-sf views + the heavy truth run
+    for t in TABLES:
+        p = os.path.join(proof_src, f"{t}.parquet")
+        if os.path.isdir(p):
+            p = os.path.join(p, "*.parquet")
+        elif not os.path.exists(p):
+            continue
+        con2.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    stride = con2.execute(
+        "SELECT max(doc_id) + 1 FROM documents").fetchone()[0]
+    os.makedirs(cache_dir, exist_ok=True)
+    truth_path = os.path.join(cache_dir, f"{name}.parquet")
+    if not os.path.exists(truth_path):
+        print(f"[proof    ] {name}: computing small-sf truth (all-pairs, "
+              f"cached to {truth_path})...")
+        # write-then-rename: COPY creates its target immediately, so an
+        # interrupted truth run must not leave a short parquet that later
+        # sweeps silently trust
+        con2.execute(
+            f"COPY ({oracle_sql}) TO '{truth_path}.tmp' (FORMAT PARQUET)")
+        os.replace(f"{truth_path}.tmp", truth_path)
+    dump = f"read_parquet('{dump_dir}/*.parquet')"
+    big_rows, big_max = con2.execute(
+        f"SELECT count(*), max({spec['shift'][0]}) FROM {dump}").fetchone()
+    factor = int(big_max // stride) + 1
+    lead = spec["shift"][0]
+    cross = con2.execute(
+        f"SELECT count(*) FROM {dump} WHERE " + " OR ".join(
+            f"{c} // {stride} <> {lead} // {stride}"
+            for c in spec["shift"][1:])).fetchone()[0] \
+        if len(spec["shift"]) > 1 else 0
+    norm_cols = ", ".join(
+        [f"{lead} // {stride} AS rep"] +
+        [f"{c} % {stride} AS {c}" for c in spec["shift"]] + spec["keep"])
+    exp_cols = ", ".join(
+        ["r.rep"] + [f"t.{c}" for c in spec["shift"] + spec["keep"]])
+    setup = (f"WITH norm AS (SELECT {norm_cols} FROM {dump}), "
+             f"expected AS (SELECT {exp_cols} "
+             f"FROM read_parquet('{truth_path}') t "
+             f"CROSS JOIN (SELECT unnest(range({factor})) AS rep) r) ")
+    missing = con2.execute(setup + "SELECT count(*) FROM "
+        "(SELECT * FROM expected EXCEPT ALL SELECT * FROM norm)").fetchone()[0]
+    extra = con2.execute(setup + "SELECT count(*) FROM "
+        "(SELECT * FROM norm EXCEPT ALL SELECT * FROM expected)").fetchone()[0]
+    truth_rows = con2.execute(
+        f"SELECT count(*) FROM read_parquet('{truth_path}')").fetchone()[0]
+    ok = cross == 0 and missing == 0 and extra == 0 \
+        and big_rows == factor * truth_rows
+    tag = "PASS" if ok else "FAIL"
+    print(f"[{tag}-proof] {name}: {big_rows} rows = {factor} × {truth_rows} "
+          f"shifted (cross={cross} missing={missing} extra={extra})")
+    return {"rows": big_rows, "method": "replica_structure_proof",
+            "match": bool(ok), "factor": factor, "stride": stride,
+            "truth_rows": truth_rows, "cross_replica_rows": cross,
+            "missing": missing, "extra": extra,
+            "reason": "all-pairs oracle is DuckDB-infeasible at this scale; "
+                      "proven instead by generator structure: output must "
+                      "equal factor id-shifted copies of the independently "
+                      "computed small-sf DuckDB truth (complete check — "
+                      "pair sets, Jaccard doubles, and cross-replica "
+                      "absence)"}
+
 
 def run_with_timeout(con, sql, timeout):
     """Execute sql; on a timeout interrupt the connection and raise."""
@@ -100,7 +210,8 @@ def run_with_timeout_arrow(con, sql, timeout):
 
 
 def main(sf_dir, out_dir, timeout=None, json_out=None, memory_limit=None,
-         temp_dir=None, only=None):
+         temp_dir=None, only=None, replica_proof_set=None, proof_src=None,
+         proof_cache=None):
     con = duckdb.connect()
     if memory_limit:
         con.execute(f"SET memory_limit='{memory_limit}'")
@@ -125,6 +236,20 @@ def main(sf_dir, out_dir, timeout=None, json_out=None, memory_limit=None,
         if not os.path.isdir(d):
             continue
         if only and name not in only:
+            continue
+        if replica_proof_set and name in replica_proof_set:
+            if name not in PROOF_SPEC:
+                raise SystemExit(f"--replica-proof {name}: no PROOF_SPEC "
+                                 "entry (the structural argument must be "
+                                 "written down before the check can claim it)")
+            results[name] = replica_proof(
+                name, d, oracle[name],
+                proof_src or "/root/testdata/sf0.1",
+                proof_cache or "target/proof_truth")
+            if results[name]["match"]:
+                n_pass += 1
+            else:
+                n_fail += 1
             continue
         spark_df = con.execute(
             f"SELECT * FROM read_parquet('{d}/*.parquet')").df()
@@ -296,5 +421,8 @@ if __name__ == "__main__":
     memory_limit = opt("--memory-limit")
     temp_dir = opt("--temp-dir")
     only = opt("--only", lambda s: set(s.split(",")))
+    replica_proof_set = opt("--replica-proof", lambda s: set(s.split(",")))
+    proof_src = opt("--proof-src")
+    proof_cache = opt("--proof-cache")
     sys.exit(main(argv[0], argv[1], timeout, json_out, memory_limit,
-                  temp_dir, only))
+                  temp_dir, only, replica_proof_set, proof_src, proof_cache))

@@ -73,10 +73,20 @@ object StageProbe {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           val sec = (System.nanoTime() - t0) / 1e9
           val rows = -1L // noop reports no count; row counts live in Verify
-          // listener events are posted asynchronously; give the bus a
-          // beat to drain before reading the buffer (listenerBus is
-          // private[spark]; a fixed settle is fine for a dev probe)
-          Thread.sleep(500)
+          // listener events are posted asynchronously, and after a LARGE
+          // job the bus can lag well past any fixed beat — exactly where
+          // this probe matters most. Poll until the buffer is stable
+          // across two consecutive reads (bounded at 30 s so a wedged bus
+          // can't hang the probe; a one-shot 500 ms sleep under-counted
+          // stages on big queries).
+          var seen = -1
+          var stable = stages.synchronized(stages.size)
+          val deadline = System.nanoTime() + 30L * 1000000000L
+          while (seen != stable && System.nanoTime() < deadline) {
+            seen = stable
+            Thread.sleep(250)
+            stable = stages.synchronized(stages.size)
+          }
           println(f"\n==== $n: $rows rows in $sec%.2f s ($sfDir) ====")
           println(f"${"stage"}%-7s${"tasks"}%6s${"run_s"}%9s${"in_MB"}%9s" +
             f"${"in_rec"}%12s${"sr_MB"}%9s${"sr_rec"}%12s${"sw_MB"}%9s" +

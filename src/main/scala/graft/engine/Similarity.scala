@@ -624,6 +624,17 @@ object Similarity {
   def pqTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5, c: Int = 25,
              m: Int = 8, ksub: Int = 16, iterations: Int = 2,
              sampleMod: Int = 10, quantScale: Int = 1000): DataFrame = {
+    // contract: dims % m == 0, checked loudly on one sampled row. The
+    // sub-space slice below floor-divides, so a non-dividing m would
+    // SILENTLY drop the trailing dims % m dimensions from every vector
+    // (and the oracle's (i-1)//(dims//m) routing would file those
+    // positions under a sub-space this scan never creates — a value AND
+    // parity bug). One row, one tiny job, once per call.
+    val dims = emb.select(size(col("embedding")).as("d")).head.getInt(0)
+    require(dims % m == 0,
+      s"pqTopK: embedding dims $dims not divisible by m=$m — the " +
+        s"contiguous sub-vector split would silently ignore the trailing " +
+        s"${dims % m} dimensions; choose m | dims (or pad the vectors)")
     val q = quantizedShifted(emb, quantScale)
     val dsub = size(col("qv")) / lit(m)
     // (vec_id, sub, sv, sn2): the m contiguous sub-vectors of each row

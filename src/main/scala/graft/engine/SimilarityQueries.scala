@@ -95,7 +95,13 @@ object SimilarityQueries {
     // codes, per-query ADC lookup-table scan, exact top-5 rerank of the
     // top-100 ADC candidates (c=100 measured recall@5 0.86 on the
     // pseudo-random corpus — PQ's adversarial case; c is the standard
-    // recall dial and the rerank stays ≤ c rows per query). Hash-checked:
+    // recall dial and the rerank stays ≤ c rows per query). The measured
+    // c→recall curve (graft.RecallCurve; SCALE.md round 17) climbs
+    // steadily without plateauing — 0.50/0.64/0.74/0.88 at c=50/100/200/
+    // 400 on the 2k-vector sf0.1 corpus, 0.32/0.44/0.54/0.64 on 20k at
+    // sf1 — so recall here is candidate-budget-bound (isotropic vectors:
+    // no subspace correlation for an OPQ rotation to exploit), and the
+    // production dial is c ∝ corpus, not a new family member. Hash-checked:
     // the whole candidate cut is integer-exact on both engines (see
     // Similarity.pqTopK); cos rounded to 6 decimals as x01/x07 do.
     "x10_pq_ann" -> ((s, d) =>
