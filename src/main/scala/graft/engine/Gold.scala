@@ -20,25 +20,51 @@ import org.apache.spark.sql.functions._
   */
 object Gold {
 
-  /** Write-side fan-out per hive partition: each partition value lands in
-    * up to this many tasks/files. Sized small here (local[32], sf≤0.1);
-    * on a real cluster size it to executor-count / distinct-partitions so
-    * the hottest partition saturates the cluster without file explosion.
+  /** Write-side fan-out CAP per hive partition: each partition value
+    * lands in up to this many tasks/files. Sized small here (local[32],
+    * sf≤0.1); on a real cluster size it to executor-count /
+    * distinct-partitions so the hottest partition saturates the cluster
+    * without file explosion.
     */
   val writeFanout = 4
+
+  /** Rows above which a hive partition earns a second writer task. The
+    * fan-out exists to parallelize HOT partitions; a partition below
+    * this floor is one comfortably-sized file, and salting it anyway
+    * just multiplies tiny files (round 17: the time-shifted rehearsal
+    * has factor× more, proportionally smaller months — 790 at sf1 —
+    * and a fixed 4-way salt turned them into 3 160 files, visible as
+    * +2 s on every fact-reading query and 8× slower layer setup).
+    */
+  val fanoutRowFloor = 250000L
+
+  /** Fan-out for a table of `rows` spread over ~`partitions` hive
+    * partitions: 1 until the average partition clears
+    * [[fanoutRowFloor]], then one extra writer per floor-multiple, capped
+    * at [[writeFanout]]. At 100 TB (billions of rows per month) this
+    * saturates the cap; on a small-or-long-history corpus it collapses
+    * to one right-sized file per partition.
+    */
+  def adaptiveFanout(rows: Long, partitions: Long): Int =
+    math.max(1L, math.min(writeFanout.toLong,
+      rows / math.max(1L, partitions) / fanoutRowFloor + 1)).toInt
 
   /** The one salted partitioned-write shape (used by the gold fact and
     * both landing splits, asserted in GoldSpec): pure
     * `repartition(partCol)` serializes each hive partition through ONE
     * task — at 100 TB a hot partition is a write bottleneck. Hash-salting
-    * on the row key fans every partition across up to [[writeFanout]]
+    * on the row key fans every partition across up to `fanout`
     * tasks while keeping file count bounded at fanout-per-partition
     * (vs tasks x partitions unsalted).
     */
   def saltedPartitionedWrite(df: DataFrame, partCol: String,
-                             saltKey: Column, dir: String): Unit =
-    df.repartition(col(partCol), pmod(hash(saltKey), lit(writeFanout)))
-      .write.mode("overwrite").partitionBy(partCol).parquet(dir)
+                             saltKey: Column, dir: String,
+                             fanout: Int = writeFanout): Unit = {
+    val repart =
+      if (fanout <= 1) df.repartition(col(partCol))
+      else df.repartition(col(partCol), pmod(hash(saltKey), lit(fanout)))
+    repart.write.mode("overwrite").partitionBy(partCol).parquet(dir)
+  }
 
   /** Write silver + gold parquet for sfDir if this JVM hasn't yet; returns
     * the layer root (under the build dir, never the read-only testdata).
@@ -74,6 +100,15 @@ object Gold {
           col("freight_value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
         .withColumn("order_month",
           date_format(col("order_purchase_timestamp"), "yyyy-MM"))
+      // size the fact's per-month fan-out from the data (one cheap agg
+      // pass over the CACHED silvers, which warms them for the writes
+      // below): lineitem count over distinct order months upper-bounds
+      // rows-per-month, so hot months fan out and tiny months don't
+      // shatter into salt-files
+      val factFanout = adaptiveFanout(
+        sl.count(),
+        math.max(1L, so.agg(countDistinct(
+          date_format(col("o_orderdate"), "yyyy-MM"))).head.getLong(0)))
       // the six layer writes are independent of each other — submit them
       // as concurrent Spark jobs (FIFO-scheduled over the same executor
       // pool) instead of serially leaving the cluster idle between
@@ -83,7 +118,7 @@ object Gold {
         Future(so.write.mode("overwrite").parquet(s"$dir/silver_orders")),
         Future(sl.write.mode("overwrite").parquet(s"$dir/silver_lineitem")),
         Future(saltedPartitionedWrite(fact, "order_month", col("order_id"),
-          s"$dir/fact_sales")),
+          s"$dir/fact_sales", factFanout)),
         Future(Medallion.dimCustomer(
             Tables.customer(spark, sfDir), Tables.nation(spark, sfDir),
             Tables.region(spark, sfDir))
