@@ -11,12 +11,26 @@ import org.apache.spark.sql.functions._
   *
   * Scale posture: this is the single biggest 100 TB lever in the repo —
   * the orders⋈lineitem fact shuffle happens once per pipeline run, not
-  * once per query. The fact is partitioned by `order_month`
-  * (reference landing zone `scripts/esplosione_dati.py:135-154`), so any
-  * query filtering on month gets partition pruning; `repartition` by the
-  * partition column + a bounded hash salt before the write keeps file
-  * count at ≤[[writeFanout]] per month (instead of tasks × months) while
-  * still writing each month from multiple tasks in parallel.
+  * once per query. The fact is hive-partitioned on a calendar period
+  * column `order_period` (reference landing zone
+  * `scripts/esplosione_dati.py:135-154` partitions by month), so any
+  * query filtering on the period gets partition pruning; `repartition`
+  * by the partition column + a bounded hash salt before the write keeps
+  * file count at ≤fanout per period while still writing hot periods from
+  * multiple tasks in parallel.
+  *
+  * BOTH period grain and fan-out are sized from the data, because each
+  * fails in one direction when fixed (round 17): real lakehouse
+  * partition-layout guidance is partition SIZE targets, not a fixed
+  * calendar grain. Month grain on a long-history corpus (the
+  * time-shifted rehearsal: 7,900 months at sf10) shattered the fact
+  * into 7,900 tiny files — measured +17 s of footer/listing overhead on
+  * EVERY fact scan — while year grain on a driver-scale corpus would
+  * give one partition. [[periodGrain]] picks month unless the month
+  * count blows past [[maxPartitions]] (then year); [[adaptiveFanout]]
+  * adds writer tasks per partition only above a row floor. At the
+  * driver's gate scales (79 months) both collapse to exactly the
+  * reference's month-partitioned, 4-way-salted layout.
   */
 object Gold {
 
@@ -48,6 +62,20 @@ object Gold {
   def adaptiveFanout(rows: Long, partitions: Long): Int =
     math.max(1L, math.min(writeFanout.toLong,
       rows / math.max(1L, partitions) / fanoutRowFloor + 1)).toInt
+
+  /** Hive-partition count cap for the gold fact: beyond it, coarsen the
+    * calendar grain instead of shattering the table (hive partitioning
+    * writes ≥1 file per partition value, so partition count is a FILE
+    * COUNT floor, and every scan pays a footer read per file).
+    */
+  val maxPartitions = 256L
+
+  /** Calendar grain for `months` distinct order months: month while the
+    * partition count stays sane, else year. Returns the date_format
+    * pattern for the `order_period` partition column.
+    */
+  def periodGrain(months: Long): String =
+    if (months <= maxPartitions) "yyyy-MM" else "yyyy"
 
   /** The one salted partitioned-write shape (used by the gold fact and
     * both landing splits, asserted in GoldSpec): pure
@@ -93,22 +121,24 @@ object Gold {
       // DECIMAL(18,4) both ways), and freight's double product is
       // canonicalized to its exact ≤4-decimal value (the t01 disc_price
       // argument; the oracle factSql applies the same canonicalization).
+      // size the fact's layout from the data (one cheap agg pass over the
+      // CACHED silvers, which warms them for the writes below): distinct
+      // order months pick the calendar grain, lineitem count over the
+      // grain's partition count sizes the fan-out — hot periods fan out,
+      // tiny ones don't shatter into salt-files
+      val months = math.max(1L, so.agg(countDistinct(
+        date_format(col("o_orderdate"), "yyyy-MM"))).head.getLong(0))
+      val grain = periodGrain(months)
+      val periods =
+        if (grain == "yyyy-MM") months else math.max(1L, months / 12)
+      val factFanout = adaptiveFanout(sl.count(), periods)
       val fact = Medallion.factSales(so, sl)
         .withColumn("price",
           col("price").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
         .withColumn("freight_value",
           col("freight_value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
-        .withColumn("order_month",
-          date_format(col("order_purchase_timestamp"), "yyyy-MM"))
-      // size the fact's per-month fan-out from the data (one cheap agg
-      // pass over the CACHED silvers, which warms them for the writes
-      // below): lineitem count over distinct order months upper-bounds
-      // rows-per-month, so hot months fan out and tiny months don't
-      // shatter into salt-files
-      val factFanout = adaptiveFanout(
-        sl.count(),
-        math.max(1L, so.agg(countDistinct(
-          date_format(col("o_orderdate"), "yyyy-MM"))).head.getLong(0)))
+        .withColumn("order_period",
+          date_format(col("order_purchase_timestamp"), grain))
       // the six layer writes are independent of each other — submit them
       // as concurrent Spark jobs (FIFO-scheduled over the same executor
       // pool) instead of serially leaving the cluster idle between
@@ -117,7 +147,7 @@ object Gold {
       val writes = Seq(
         Future(so.write.mode("overwrite").parquet(s"$dir/silver_orders")),
         Future(sl.write.mode("overwrite").parquet(s"$dir/silver_lineitem")),
-        Future(saltedPartitionedWrite(fact, "order_month", col("order_id"),
+        Future(saltedPartitionedWrite(fact, "order_period", col("order_id"),
           s"$dir/fact_sales", factFanout)),
         Future(Medallion.dimCustomer(
             Tables.customer(spark, sfDir), Tables.nation(spark, sfDir),
@@ -142,7 +172,7 @@ object Gold {
     spark.read.parquet(s"${ensure(spark, sfDir)}/silver_lineitem")
 
   /** Gold fact in the canonical column order of [[Medallion.factSales]]
-    * (the `order_month` partition column stays available for pruning but
+    * (the `order_period` partition column stays available for pruning but
     * is projected away here so downstream schemas are unchanged).
     *
     * Money columns read back as DOUBLE for the legacy consumer surface:

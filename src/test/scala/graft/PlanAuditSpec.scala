@@ -230,16 +230,22 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally keys.foreach(k => saved(k).fold(conf.unset(k))(conf.set(k, _)))
   }
 
-  test("month predicates on the gold fact prune partitions, not just rows") {
+  test("period predicates on the gold fact prune partitions, not just rows") {
     import org.apache.spark.sql.functions.col
     val factDir = s"${graft.engine.Gold.ensure(spark, sf)}/fact_sales"
+    // take a real partition value from the written layout (the grain is
+    // data-sized since round 17: month at gate scales, year beyond the
+    // partition-count cap — the pruning property must hold either way)
+    val period = new java.io.File(factDir).listFiles()
+      .map(_.getName).find(_.startsWith("order_period="))
+      .map(_.stripPrefix("order_period=")).get
     val plan = spark.read.parquet(factDir)
-      .filter(col("order_month") === "1996-01")
+      .filter(col("order_period") === period)
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [") &&
       plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
-        .contains("order_month"),
-      s"expected order_month in PartitionFilters, got:\n$plan")
+        .contains("order_period"),
+      s"expected order_period in PartitionFilters, got:\n$plan")
   }
 
   test("o70's PageRank rounds are checkpointed: the final plan replays no join chain") {
