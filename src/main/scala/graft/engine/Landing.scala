@@ -56,14 +56,41 @@ object Landing {
     * "yyyy-MM" reproduces the reference's monthly grain — the pipeline is
     * identical either way.
     */
+  /** Landing-file count cap: the incremental contract is per-FILE
+    * (quality gate + anti-join + append + journal per landing file), so
+    * file count is a JOB count — and the journal is rewritten after
+    * every file, so it is also quadratic in files. A fixed year grain on
+    * the long-history rehearsal meant ~660 years at sf10 = 1,320
+    * sequential ingest jobs (found wedged mid-sweep, round 17). Real
+    * landing zones deliver bounded batch counts; beyond the cap,
+    * consecutive years are bucketed into equal-width batches.
+    */
+  val maxLandingFiles = 16
+
   def explode(spark: SparkSession, sfDir: String, landingRoot: String,
               periodFmt: String = "yyyy"): Seq[LandingFile] = {
     // a null order date cannot be period-split (its rows would land in
     // the hive default partition while the manifest says 'orders_null')
     // — fail fast at the landing boundary instead
-    val orders = Quality.gate(
+    val gated = Quality.gate(
       Tables.orders(spark, sfDir), Seq(Quality.NotNull("o_orderdate")))
-      .withColumn("period", date_format(col("o_orderdate"), periodFmt))
+    // data-sized batch width for the default year grain: width-1 (the
+    // plain year, byte-identical to the pre-r17 layout) until the year
+    // span blows past the cap, then ceil(span/cap)-year buckets anchored
+    // at the min year. The formula is deliberately reproducible in plain
+    // SQL (the p01 oracle computes the same width from the same table).
+    val periodCol =
+      if (periodFmt != "yyyy") date_format(col("o_orderdate"), periodFmt)
+      else {
+        val r = gated.agg(min(year(col("o_orderdate"))),
+          max(year(col("o_orderdate")))).head
+        val span = r.getInt(1) - r.getInt(0) + 1
+        val width = math.max(1L, math.ceil(span.toDouble / maxLandingFiles).toLong)
+        if (width == 1L) date_format(col("o_orderdate"), "yyyy")
+        else (floor((year(col("o_orderdate")) - lit(r.getInt(0))) / lit(width))
+          * lit(width) + lit(r.getInt(0).toLong)).cast("long").cast("string")
+      }
+    val orders = gated.withColumn("period", periodCol)
     // period + bounded hash salt (Gold.saltedPartitionedWrite): every
     // period is written by up to `writeFanout` parallel tasks instead of
     // one, with file count still bounded per period
