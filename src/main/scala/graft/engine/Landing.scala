@@ -67,28 +67,44 @@ object Landing {
     */
   val maxLandingFiles = 16
 
+  /** Data-sized year-bucket width for the default landing grain:
+    * ceil(span / [[maxLandingFiles]]), floored at 1 (width-1 = the plain
+    * year, byte-identical to the pre-r17 layout). ONE SOURCE OF TRUTH
+    * with the p01 oracle: PipelineQueries interpolates
+    * [[maxLandingFiles]] into the same ceil/floor formula in SQL, so the
+    * cap constant cannot drift between the engine and its oracle — a
+    * change HERE to the formula's shape (not just the cap) must be
+    * mirrored in that oracle's `yb` CTE.
+    */
+  def yearBucketWidth(minYear: Int, maxYear: Int): Long =
+    math.max(1L, math.ceil((maxYear - minYear + 1).toDouble / maxLandingFiles).toLong)
+
   def explode(spark: SparkSession, sfDir: String, landingRoot: String,
               periodFmt: String = "yyyy"): Seq[LandingFile] = {
     // a null order date cannot be period-split (its rows would land in
     // the hive default partition while the manifest says 'orders_null')
-    // — fail fast at the landing boundary instead
-    val gated = Quality.gate(
-      Tables.orders(spark, sfDir), Seq(Quality.NotNull("o_orderdate")))
-    // data-sized batch width for the default year grain: width-1 (the
-    // plain year, byte-identical to the pre-r17 layout) until the year
-    // span blows past the cap, then ceil(span/cap)-year buckets anchored
-    // at the min year. The formula is deliberately reproducible in plain
-    // SQL (the p01 oracle computes the same width from the same table).
+    // — fail fast at the landing boundary instead. The year-span stats
+    // the default grain needs ride the SAME aggregation pass as the gate
+    // (Quality.gateWith): one scan per ingest, not two — min/max(year)
+    // skip nulls by SQL semantics, and a null date throws anyway, so
+    // pre-gate stats equal post-gate stats.
+    val (gated, stats) = Quality.gateWith(
+      Tables.orders(spark, sfDir), Seq(Quality.NotNull("o_orderdate")),
+      if (periodFmt != "yyyy") Nil
+      else Seq(min(year(col("o_orderdate"))).as("__min_year"),
+        max(year(col("o_orderdate"))).as("__max_year")))
+    // data-sized batch width for the default year grain: width-1 until
+    // the year span blows past the cap, then ceil(span/cap)-year buckets
+    // anchored at the min year ([[yearBucketWidth]] — the p01 oracle
+    // computes the same width from the same table in SQL).
     val periodCol =
       if (periodFmt != "yyyy") date_format(col("o_orderdate"), periodFmt)
       else {
-        val r = gated.agg(min(year(col("o_orderdate"))),
-          max(year(col("o_orderdate")))).head
-        val span = r.getInt(1) - r.getInt(0) + 1
-        val width = math.max(1L, math.ceil(span.toDouble / maxLandingFiles).toLong)
+        val minY = stats.getAs[Int]("__min_year")
+        val width = yearBucketWidth(minY, stats.getAs[Int]("__max_year"))
         if (width == 1L) date_format(col("o_orderdate"), "yyyy")
-        else (floor((year(col("o_orderdate")) - lit(r.getInt(0))) / lit(width))
-          * lit(width) + lit(r.getInt(0).toLong)).cast("long").cast("string")
+        else (floor((year(col("o_orderdate")) - lit(minY)) / lit(width))
+          * lit(width) + lit(minY.toLong)).cast("long").cast("string")
       }
     val orders = gated.withColumn("period", periodCol)
     // period + bounded hash salt (Gold.saltedPartitionedWrite): every

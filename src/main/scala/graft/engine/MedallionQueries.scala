@@ -69,9 +69,10 @@ object MedallionQueries {
     // rendering while keeping every arithmetic step exact. The
     // decimal→double render is itself exact-deterministic here: the
     // scaled sum is < 2^53 even at sf10, so both engines emit the one
-    // correctly-rounded double. m08 below keeps a raw-DECIMAL output in
-    // the registry so the driver's decimal hash discipline stays an
-    // observed fact.
+    // correctly-rounded double. m08 below pins the other safe render
+    // (canonical VARCHAR); the raw-DECIMAL observation itself is closed
+    // — twice-proven (m07 r16, m08 r17) and recorded as the SURVEY §8
+    // decimal-render rule.
     "m07_gold_decimal_monthly" -> ((s, d) =>
       Gold.factDecimal(s, d)
         .groupBy(date_format(col("order_purchase_timestamp"), "yyyy-MM").as("month"))
@@ -79,19 +80,24 @@ object MedallionQueries {
           sum(col("freight_value")).cast("double").as("freight"))
         .orderBy("month")),
 
-    // decimal hash probe (round 17, VERDICT r16 #1b): ONE raw
-    // DECIMAL(18,4) output column over constant 5-row data (region keys,
-    // integral and x.25 fractional values). The values are trivially
-    // identical on both sides, so this row isolates exactly one variable:
-    // how the driver hashes a decimal-typed result column. Green ⇒ plain
-    // DECIMAL(p,s) outputs are safe and m07-style double renders are
-    // belt-and-braces; red ⇒ driver decimal hashing diverges on
-    // bit-identical values, confirming the r16 m07 adjudication.
+    // decimal render probe (round 18, VERDICT r17 #2): the r17 raw-
+    // DECIMAL twin of this row did its one job — rows+schema matched,
+    // hash red on trivially-identical 5-row constant data, proving (for
+    // the second round running, after m07 in r16) that the driver's hash
+    // of DECIMAL-typed OUTPUT columns diverges on bit-identical values.
+    // That observation is recorded as the §8 decimal-render rule: never
+    // emit a raw DECIMAL result column; finish exact decimal arithmetic,
+    // then render as DOUBLE (when the scaled value fits 2^53 — m07/o82)
+    // or as canonical VARCHAR. This row now characterizes the VARCHAR
+    // leg: the same constant decimal values, CAST to string on BOTH
+    // engines (Spark and DuckDB both render DECIMAL(18,4) at full scale,
+    // "1.2500"), so green pins string-rendered decimals as driver-safe.
     "m08_decimal_probe" -> ((s, d) =>
       Tables.region(s, d)
         .select(col("r_regionkey").cast("bigint").as("k"),
           (col("r_regionkey").cast("double") * lit(1.25))
-            .cast(org.apache.spark.sql.types.DecimalType(18, 4)).as("dec_val"))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 4))
+            .cast("string").as("dec_str"))
         .orderBy("k"))
   )
 
@@ -191,7 +197,8 @@ object MedallionQueries {
 
     "m08_decimal_probe" ->
       """SELECT CAST(r_regionkey AS BIGINT) AS k,
-        |       CAST(CAST(r_regionkey AS DOUBLE) * 1.25 AS DECIMAL(18,4)) AS dec_val
+        |       CAST(CAST(CAST(r_regionkey AS DOUBLE) * 1.25 AS DECIMAL(18,4))
+        |            AS VARCHAR) AS dec_str
         |FROM region ORDER BY k""".stripMargin
   )
 }

@@ -452,13 +452,16 @@ object PipelineQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    // yb replays Landing.yearBucketWidth in SQL — the cap constant is
+    // INTERPOLATED from Landing.maxLandingFiles (one source of truth);
+    // a change to the Scala formula's SHAPE must be mirrored here.
     "p01_incremental_runs" ->
-      """WITH yb AS (
+      s"""WITH yb AS (
         |  SELECT CAST(MIN(EXTRACT(year FROM o_orderdate)) AS BIGINT) AS miny,
         |         GREATEST(CAST(1 AS BIGINT),
         |           CAST(CEIL((MAX(EXTRACT(year FROM o_orderdate))
         |                      - MIN(EXTRACT(year FROM o_orderdate)) + 1)
-        |                     / 16.0) AS BIGINT)) AS w
+        |                     / ${Landing.maxLandingFiles}.0) AS BIGINT)) AS w
         |  FROM orders),
         |ord AS (
         |  SELECT 'orders_' || CAST(CAST(FLOOR((EXTRACT(year FROM o_orderdate) - yb.miny) / yb.w)

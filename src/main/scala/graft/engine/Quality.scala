@@ -52,17 +52,28 @@ object Quality {
   /** Evaluate all checks in one aggregation pass. Left = violations
     * (fail-fast input for [[gate]]), Right = the validated frame.
     */
-  def validate(df: DataFrame, checks: Seq[Check]): Either[Seq[Violation], DataFrame] = {
+  def validate(df: DataFrame, checks: Seq[Check]): Either[Seq[Violation], DataFrame] =
+    validateWith(df, checks, Nil).map(_._1)
+
+  /** [[validate]] with caller-supplied aggregate columns folded into the
+    * SAME single pass, returned as the extras Row (access by the alias
+    * the caller gave each column). For callers that need a cheap
+    * whole-table statistic alongside the gate — Landing.explode's year
+    * span — so gating + stats cost ONE table scan per ingest, not two
+    * (at 100 TB a second full pass over bronze is a real job, and at
+    * sf0.1 the split pass was the only code change on p01's r17 path).
+    */
+  def validateWith(df: DataFrame, checks: Seq[Check], extras: Seq[Column])
+      : Either[Seq[Violation], (DataFrame, org.apache.spark.sql.Row)] = {
+    val vchecks = checks.filter(_ != NonEmpty)
     val counters = count(lit(1)).as("__rows") +:
-      checks.collect { case c if c != NonEmpty => sum(c.violation).cast("long").as(c.name) }
+      (vchecks.map(c => sum(c.violation).cast("long").as(c.name)) ++ extras)
     val row = df.agg(counters.head, counters.tail: _*).collect()(0)
     val rows = row.getLong(0)
     val violations =
-      checks.collect { case c if c != NonEmpty =>
-        Violation(c.name, row.getAs[Long](c.name))
-      }.filter(_.count > 0) ++
+      vchecks.map(c => Violation(c.name, row.getAs[Long](c.name))).filter(_.count > 0) ++
         (if (checks.contains(NonEmpty) && rows == 0) Seq(Violation(NonEmpty.name, 1)) else Nil)
-    if (violations.nonEmpty) Left(violations) else Right(df)
+    if (violations.nonEmpty) Left(violations) else Right((df, row))
   }
 
   /** Blocking gate: throw on any violation so downstream stages never run
@@ -70,6 +81,12 @@ object Quality {
     */
   def gate(df: DataFrame, checks: Seq[Check]): DataFrame =
     validate(df, checks).fold(v => throw new QualityGateException(v), identity)
+
+  /** Blocking [[validateWith]]: the gated frame plus the extras Row. */
+  def gateWith(df: DataFrame, checks: Seq[Check], extras: Seq[Column])
+      : (DataFrame, org.apache.spark.sql.Row) =
+    validateWith(df, checks, extras)
+      .fold(v => throw new QualityGateException(v), identity)
 
   /** The silver-orders contract (`silver.py:8-18` analog). */
   val orderChecks: Seq[Check] = Seq(

@@ -621,9 +621,24 @@ object Similarity {
     * kmeansAssign drop-out policy); encoding argmins over surviving
     * codes only, identically on both engines.
     */
-  def pqTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5, c: Int = 25,
+  def pqTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5, c: Int = -1,
              m: Int = 8, ksub: Int = 16, iterations: Int = 2,
              sampleMod: Int = 10, quantScale: Int = 1000): DataFrame = {
+    // The rerank budget c is THE recall dial, and it must scale with the
+    // corpus: RecallCurve (r17, committed in SCALE.md) measured recall@5
+    // at FIXED c falling as the corpus grows (c=100: 0.64 → 0.44 for
+    // 2k → 20k vectors) with the curve climbing in c without plateau —
+    // i.e. the dial is c ∝ N, not a constant. Default c < 0 therefore
+    // derives c = max(25, ceil(N/20)) from the corpus count — c/N = 1/20
+    // is the measured sf0.1 operating point (recall 0.64), held as the
+    // corpus grows — so a 100 TB caller cannot silently inherit a
+    // constant tuned at sf0.001. Pass c explicitly to pin the budget
+    // (the registry's x10 does, for cross-scale oracle determinism);
+    // explicit callers own the c/N ratio — keep it ≥ the default's 1/20
+    // unless a measured curve for the target corpus says less suffices.
+    val cEff =
+      if (c >= 0) c
+      else math.max(25L, (emb.count() + 19L) / 20L).min(Int.MaxValue).toInt
     // contract: dims % m == 0, checked loudly on one sampled row. The
     // sub-space slice below floor-divides, so a non-dividing m would
     // SILENTLY drop the trailing dims % m dimensions from every vector
@@ -697,7 +712,7 @@ object Similarity {
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
       .agg(sum(col("d")).cast("long").as("adc"))
       .withColumn("rn", row_number().over(cw))
-      .filter(col("rn") <= c)
+      .filter(col("rn") <= cEff)
       .select(col("query_id"), col("neighbor_id"))
     // exact rerank over the c survivors (the sq8TopK tail)
     val e = withNorms(emb)

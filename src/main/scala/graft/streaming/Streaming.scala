@@ -121,20 +121,32 @@ object Streaming {
     * the session's lifetime. The small result dir must outlive the
     * returned (lazy) frame, so it is deleted on JVM exit instead.
     */
+  /** Silence the state store's "version N doesn't exist in loadedMaps"
+    * WARN: it fires on every restored-checkpoint run (s06's second
+    * AvailableNow pass) and the message itself says "this is normal for
+    * the first batch of starting query" — benign by Spark's own text,
+    * but it was the one stderr line left in the bench tail. The round-17
+    * class-scoped override never matched because the provider OVERRIDES
+    * `logName` to append its StateStoreProviderId — each instance logs
+    * under "…HDFSBackedStateStoreProvider StateStoreProviderId[…]", a
+    * distinct logger whose log4j2 PARENT (hierarchy splits at dots, and
+    * the appended id contains none) is the `…streaming.state` package,
+    * not the bare class logger. So the level must land on the package;
+    * everything else under it already logs INFO-and-quieter in these
+    * code paths (verified: the only `…streaming.state` WARN across full
+    * bench stderr is this restore line).
+    */
+  def silenceStateStoreRestoreWarn(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.state",
+      org.apache.logging.log4j.Level.ERROR)
+
   def runAvailableNow(df: DataFrame, name: String,
                       mode: OutputMode = OutputMode.Complete(),
                       statePartitions: Int = 8,
                       noDataBatches: Boolean = true,
                       checkpointDir: Option[String] = None): DataFrame = {
-    // silence the state store's "version N doesn't exist in loadedMaps"
-    // WARN: it fires on every restored-checkpoint run (s06's second
-    // AvailableNow pass) and the message itself says "this is normal for
-    // the first batch of starting query" — benign by Spark's own text,
-    // but it was the one stderr line left in the bench tail. Scoped to
-    // the single provider class, not the streaming package.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
-      org.apache.logging.log4j.Level.ERROR)
+    silenceStateStoreRestoreWarn()
     val spark = df.sparkSession
     // Complete: every batch is the full result → overwrite keeps the
     // last (= final) one. Append: new rows only → each batch lands in
@@ -272,6 +284,7 @@ object Streaming {
   def ingestOrders(spark: SparkSession, landingOrders: String,
                    bronzeOrders: String, checkpoint: String,
                    maxFilesPerTrigger: Int = 2): Unit = {
+    silenceStateStoreRestoreWarn()
     val schema = spark.read.option("basePath", landingOrders)
       .parquet(landingOrders).schema
     val src = spark.readStream
