@@ -109,6 +109,19 @@ PROOF_SPEC = {
     # components of a replica-disjoint pair graph are replica-local, and
     # comp = min doc_id of the component translates like any id
     "o54_dedup_components": {"shift": ["doc_id", "comp"], "keep": ["is_kept"]},
+    # o57_srp_blocked_neardup is NOT proof-eligible (round 18, considered
+    # and rejected): the embeddings replica transform is a CYCLIC ROTATION
+    # (ScaleData), which preserves norms and pairwise dot products WITHIN a
+    # replica but not SRP signatures — the 64 hyperplanes are fixed, so
+    # sig(rot(v)) has no relation to sig(v) and replica r's within-replica
+    # hamming pair set differs from rep-0's. Worse, the k-means seeds are
+    # vec_id < 8 — all rep-0 vectors — so clusters are GLOBAL across
+    # replicas and cross-replica same-cluster pairs are legitimately in
+    # scope. The sf10 truth is therefore not factor x shifted sf0.1 truth
+    # in any column. Closed instead by making the oracle itself
+    # sf10-feasible: hash-join the pair scan on the cluster key with a
+    # MATERIALIZED sig+cluster frame (~150 s at 200k vectors vs >900 s for
+    # the r17 inequality-join form).
 }
 
 
