@@ -102,7 +102,7 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"SQ8 recall@5 must be >= 0.9, got $recall")
   }
 
-  test("pqTopK: reduces to exact kNN when c covers the corpus; useful recall at c=25") {
+  test("pqTopK: reduces to exact kNN when c covers the corpus; useful recall at c=100") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val n = emb.count().toInt
     val exact = Similarity.knnCosine(emb, nQueries = 5, k = 5)
@@ -122,6 +122,16 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact10 intersect pq).size.toDouble / exact10.size
     assert(recall >= 0.7, s"PQ recall@5 must be >= 0.7, got $recall")
+    // omitted c = the corpus-proportional default max(25, ceil(N/20)):
+    // at this corpus size that is exactly 25 (ceil(N/20) < 25), so the
+    // default path must reproduce an explicit c=25 run bit-for-bit —
+    // pins that the auto dial is wired and deterministic
+    assert(n <= 500, s"corpus grew to $n; pick a new pin for the default-c test")
+    val auto = Similarity.pqTopK(emb, nQueries = 5, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pinned = Similarity.pqTopK(emb, nQueries = 5, k = 5, c = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(auto == pinned, "default c must equal max(25, ceil(N/20)) = 25 here")
   }
 
   /** Same 3 orthogonal clusters as `clustered`, but ids interleaved so
