@@ -179,11 +179,25 @@ object Bench {
     * both with baseline ≥ HistoryMinBaselineSec; None (signal
     * abstains) with fewer than HistoryMinQueries such queries. Median,
     * not mean: one legitimately-changed plan must not flag the run.
+    *
+    * Names are compared by SHORT id (the prefix before the first '_',
+    * dropped when ambiguous on either side): the committed BENCH_CLEAN
+    * baselines are the stdout format, whose query keys are short ids,
+    * while `timed` carries full registry names — an exact-name match
+    * therefore intersected EMPTY and the sentinel silently abstained
+    * on every run since the short-id stdout format landed
+    * (history_factor:null in r16/r17 artifacts; found round 18).
+    * Normalizing both sides accepts either format as baseline.
     */
   def medianRatio(current: Seq[(String, Double)], baseline: Map[String, Double]): Option[Double] = {
-    val ratios = current.collect {
-      case (n, t) if baseline.get(n).exists(_ >= HistoryMinBaselineSec) => t / baseline(n)
-    }.sorted
+    def shorten(m: Iterable[(String, Double)]): Map[String, Double] = {
+      val grouped = m.groupBy { case (n, _) => n.takeWhile(_ != '_') }
+      grouped.collect { case (id, vs) if vs.size == 1 => id -> vs.head._2 }
+    }
+    val base = shorten(baseline)
+    val ratios = shorten(current).collect {
+      case (n, t) if base.get(n).exists(_ >= HistoryMinBaselineSec) => t / base(n)
+    }.toSeq.sorted
     if (ratios.size < HistoryMinQueries) None
     else Some(
       if (ratios.size % 2 == 1) ratios(ratios.size / 2)

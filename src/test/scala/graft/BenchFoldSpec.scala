@@ -81,6 +81,17 @@ class BenchFoldSpec extends AnyFunSuite {
     assert(Bench.medianRatio(clean.take(Bench.HistoryMinQueries - 1), base).isEmpty)
     // no baseline at all: abstain
     assert(Bench.medianRatio(clean, Map.empty).isEmpty)
+    // SHORT-ID baseline (the committed BENCH_CLEAN stdout format) must
+    // match FULL registry names in the current run — the r18-found
+    // abstention bug: exact-name intersection was empty, so the
+    // sentinel returned null on every real bench since the short-id
+    // format landed
+    val shortBase = (1 to 20).map(i => f"q$i%02d" -> 1.0).toMap
+    val fullClean = (1 to 20).map(i => f"q$i%02d_some_name" -> 2.0)
+    assert(Bench.medianRatio(fullClean, shortBase).contains(2.0))
+    // ambiguous short ids are dropped, not mismatched
+    val collided = fullClean :+ ("q01_other_name" -> 9.0)
+    assert(Bench.medianRatio(collided, shortBase).contains(2.0))
   }
 
   test("synthetic background burn: the probe detects a deliberate CPU burn") {
