@@ -175,8 +175,19 @@ object Bench {
     (queries, sf)
   }
 
+  /** The self-history sentinel's full reading: the median ratio (None =
+    * abstained), HOW MANY queries it was computed over, and which short
+    * ids were dropped as ambiguous. `matched` goes into the bench JSON
+    * as `history_n` so a silent-coverage collapse — the r16-r18 bug's
+    * shape, where a baseline-format drift emptied the intersection and
+    * `history_factor:null` went unnoticed for two rounds — is visible
+    * in one artifact field instead of requiring forensics.
+    */
+  final case class HistorySignal(factor: Option[Double], matched: Int,
+                                 droppedIds: Seq[String])
+
   /** Median per-query ratio current/baseline over queries present in
-    * both with baseline ≥ HistoryMinBaselineSec; None (signal
+    * both with baseline ≥ HistoryMinBaselineSec; factor None (signal
     * abstains) with fewer than HistoryMinQueries such queries. Median,
     * not mean: one legitimately-changed plan must not flag the run.
     *
@@ -187,22 +198,36 @@ object Bench {
     * therefore intersected EMPTY and the sentinel silently abstained
     * on every run since the short-id stdout format landed
     * (history_factor:null in r16/r17 artifacts; found round 18).
-    * Normalizing both sides accepts either format as baseline.
+    * Normalizing both sides accepts either format as baseline. Dropped
+    * ambiguous ids are REPORTED, not swallowed (r18 advice): a future
+    * prefix collision, or a baseline mixing short and full keys for
+    * the same query, shrinks coverage — possibly below
+    * HistoryMinQueries, re-creating silent abstention — and that loss
+    * must be visible (main stderr-logs droppedIds; matched lands in
+    * the JSON as history_n).
     */
-  def medianRatio(current: Seq[(String, Double)], baseline: Map[String, Double]): Option[Double] = {
-    def shorten(m: Iterable[(String, Double)]): Map[String, Double] = {
+  def historySignal(current: Seq[(String, Double)],
+                    baseline: Map[String, Double]): HistorySignal = {
+    def shorten(m: Iterable[(String, Double)]): (Map[String, Double], Seq[String]) = {
       val grouped = m.groupBy { case (n, _) => n.takeWhile(_ != '_') }
-      grouped.collect { case (id, vs) if vs.size == 1 => id -> vs.head._2 }
+      (grouped.collect { case (id, vs) if vs.size == 1 => id -> vs.head._2 },
+        grouped.collect { case (id, vs) if vs.size > 1 => id }.toSeq)
     }
-    val base = shorten(baseline)
-    val ratios = shorten(current).collect {
+    val (base, baseDropped) = shorten(baseline)
+    val (cur, curDropped) = shorten(current)
+    val ratios = cur.collect {
       case (n, t) if base.get(n).exists(_ >= HistoryMinBaselineSec) => t / base(n)
     }.toSeq.sorted
-    if (ratios.size < HistoryMinQueries) None
-    else Some(
-      if (ratios.size % 2 == 1) ratios(ratios.size / 2)
-      else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2.0)
+    val factor =
+      if (ratios.size < HistoryMinQueries) None
+      else Some(
+        if (ratios.size % 2 == 1) ratios(ratios.size / 2)
+        else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2.0)
+    HistorySignal(factor, ratios.size, (baseDropped ++ curDropped).distinct.sorted)
   }
+
+  def medianRatio(current: Seq[(String, Double)], baseline: Map[String, Double]): Option[Double] =
+    historySignal(current, baseline).factor
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -338,8 +363,14 @@ object Bench {
       if (Files.exists(p)) parseBaseline(Files.readString(p))
       else (Map.empty[String, Double], None)
     } catch { case _: Throwable => (Map.empty[String, Double], None) })
-    val histFactorOpt =
-      if (baseSf.contains(sfShort)) medianRatio(timed, baseQueries) else None
+    val histSignal =
+      if (baseSf.contains(sfShort)) historySignal(timed, baseQueries)
+      else HistorySignal(None, 0, Nil)
+    val histFactorOpt = histSignal.factor
+    if (histSignal.droppedIds.nonEmpty)
+      System.err.println(s"[bench] history sentinel dropped ${histSignal.droppedIds.size} ambiguous short ids: ${histSignal.droppedIds.mkString(", ")}")
+    if (baseSf.contains(sfShort) && histFactorOpt.isEmpty)
+      System.err.println(s"[bench] history sentinel ABSTAINED: only ${histSignal.matched} baseline-matched queries (need $HistoryMinQueries)")
     val histNoisy = histFactorOpt.exists(_ > HistoryNoisyFactor)
     val noisy = cpuNoisy || histNoisy
     val histJson = histFactorOpt.map(h => rnd(h, 2)).getOrElse("null")
@@ -349,7 +380,7 @@ object Bench {
     // query times the probes never sampled.
     val noiseNote = "noisy:false is no cleanliness certificate"
     val noiseJson =
-      s""","calibration_sec":${rnd(calibrationSec, 2)},"noise_factor":${rnd(cpuFactor, 2)},"history_factor":$histJson,"noisy":$noisy,"noise_note":${Json.quote(noiseNote)}"""
+      s""","calibration_sec":${rnd(calibrationSec, 2)},"noise_factor":${rnd(cpuFactor, 2)},"history_factor":$histJson,"history_n":${histSignal.matched},"noisy":$noisy,"noise_note":${Json.quote(noiseNote)}"""
     // stdout trims every char it can spare (bench_out.json keeps full
     // names and full precision): per-query keys are the registry's UNIQUE
     // short ids ("o22" for o22_minhash_lsh_jaccard — the prefix before
@@ -377,7 +408,7 @@ object Bench {
     val json = Iterator(2, 1, 0)
       .map(stdoutJson).find(_.length <= 1985).getOrElse(noQueries)
     Files.writeString(Paths.get("bench_out.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${timed.map { case (k, v) => Json.quote(k) + ":" + v }.mkString("{", ",", "}")},"setup_sec":$setupSec,"n_errors":${errors.size},"errors":$errJson,"cpus":$cpusN,"probe_samples":${probeSamples.mkString("[", ",", "]")},"calibration_sec":$calibrationSec,"calibration_norm_sec":$probeNorm,"noise_factor":$cpuFactor,"history_factor":$histJson,"history_baseline_sf":${baseSf.map(Json.quote).getOrElse("null")},"noisy":$noisy,"noise_note":${Json.quote(noiseNote)},"sf":${Json.quote(sfDir)}}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${timed.map { case (k, v) => Json.quote(k) + ":" + v }.mkString("{", ",", "}")},"setup_sec":$setupSec,"n_errors":${errors.size},"errors":$errJson,"cpus":$cpusN,"probe_samples":${probeSamples.mkString("[", ",", "]")},"calibration_sec":$calibrationSec,"calibration_norm_sec":$probeNorm,"noise_factor":$cpuFactor,"history_factor":$histJson,"history_n":${histSignal.matched},"history_dropped_ids":${histSignal.droppedIds.map(Json.quote).mkString("[", ",", "]")},"history_baseline_sf":${baseSf.map(Json.quote).getOrElse("null")},"noisy":$noisy,"noise_note":${Json.quote(noiseNote)},"sf":${Json.quote(sfDir)}}""")
     if (noisy)
       System.err.println(f"[bench] NOISY run: probe max $calibrationSec%.2f s vs norm $probeNorm%.2f s (factor $cpuFactor%.2f), history factor ${histJson} — treat totals as polluted")
     if (errors.nonEmpty)

@@ -87,9 +87,14 @@ object Landing {
     // the default grain needs ride the SAME aggregation pass as the gate
     // (Quality.gateWith): one scan per ingest, not two — min/max(year)
     // skip nulls by SQL semantics, and a null date throws anyway, so
-    // pre-gate stats equal post-gate stats.
+    // pre-gate stats equal post-gate stats. NonEmpty rides the same
+    // pass too (gateWith's count(*)): on an EMPTY orders table
+    // min/max(year) are null and getAs[Int] would silently unbox them
+    // to 0, anchoring the default grain at year 0 — an empty ingest
+    // must fail at the boundary exactly like a null date does.
     val (gated, stats) = Quality.gateWith(
-      Tables.orders(spark, sfDir), Seq(Quality.NotNull("o_orderdate")),
+      Tables.orders(spark, sfDir),
+      Seq(Quality.NonEmpty, Quality.NotNull("o_orderdate")),
       if (periodFmt != "yyyy") Nil
       else Seq(min(year(col("o_orderdate"))).as("__min_year"),
         max(year(col("o_orderdate"))).as("__max_year")))

@@ -620,6 +620,16 @@ object Similarity {
     * A (sub, code) cell that loses all sample members drops out (the
     * kmeansAssign drop-out policy); encoding argmins over surviving
     * codes only, identically on both engines.
+    *
+    * EAGER-ACTION NOTE: ANY NEGATIVE `c` means "auto" and derives the
+    * rerank budget from the corpus count — which runs one `emb.count()`
+    * job PER CALL, the only eager action in this otherwise-lazy
+    * builder (a count over parquet is metadata-cheap, but it is still
+    * a job). Callers invoking pqTopK in a loop, or who already know
+    * the corpus size, should pass an explicit `c > 0` (the registry's
+    * x10 does, for cross-scale oracle determinism). `c == 0` is
+    * rejected loudly: a zero rerank budget returns no neighbors and
+    * can only be a bug at the call site.
     */
   def pqTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5, c: Int = -1,
              m: Int = 8, ksub: Int = 16, iterations: Int = 2,
@@ -636,8 +646,11 @@ object Similarity {
     // (the registry's x10 does, for cross-scale oracle determinism);
     // explicit callers own the c/N ratio — keep it ≥ the default's 1/20
     // unless a measured curve for the target corpus says less suffices.
+    require(c != 0, "pqTopK: c == 0 reranks nothing and returns no " +
+      "neighbors — pass c > 0 to pin the budget or any c < 0 for the " +
+      "corpus-proportional default")
     val cEff =
-      if (c >= 0) c
+      if (c > 0) c
       else math.max(25L, (emb.count() + 19L) / 20L).min(Int.MaxValue).toInt
     // contract: dims % m == 0, checked loudly on one sampled row. The
     // sub-space slice below floor-divides, so a non-dividing m would
@@ -645,7 +658,7 @@ object Similarity {
     // (and the oracle's (i-1)//(dims//m) routing would file those
     // positions under a sub-space this scan never creates — a value AND
     // parity bug). One row, one tiny job, once per call.
-    val dims = emb.select(size(col("embedding")).as("d")).head.getInt(0)
+    val dims = emb.select(size(col("embedding")).as("d")).head().getInt(0)
     require(dims % m == 0,
       s"pqTopK: embedding dims $dims not divisible by m=$m — the " +
         s"contiguous sub-vector split would silently ignore the trailing " +

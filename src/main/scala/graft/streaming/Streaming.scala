@@ -122,31 +122,43 @@ object Streaming {
     * returned (lazy) frame, so it is deleted on JVM exit instead.
     */
   /** Silence the state store's "version N doesn't exist in loadedMaps"
-    * WARN: it fires on every restored-checkpoint run (s06's second
-    * AvailableNow pass) and the message itself says "this is normal for
-    * the first batch of starting query" — benign by Spark's own text,
-    * but it was the one stderr line left in the bench tail. The round-17
+    * WARN — SCOPED to the wrapped stream run, not baked in JVM-wide: it
+    * fires on every restored-checkpoint run (s06's second AvailableNow
+    * pass) and the message itself says "this is normal for the first
+    * batch of starting query" — benign by Spark's own text, but it was
+    * the one stderr line left in the bench tail. The round-17
     * class-scoped override never matched because the provider OVERRIDES
     * `logName` to append its StateStoreProviderId — each instance logs
     * under "…HDFSBackedStateStoreProvider StateStoreProviderId[…]", a
     * distinct logger whose log4j2 PARENT (hierarchy splits at dots, and
     * the appended id contains none) is the `…streaming.state` package,
-    * not the bare class logger. So the level must land on the package;
-    * everything else under it already logs INFO-and-quieter in these
-    * code paths (verified: the only `…streaming.state` WARN across full
-    * bench stderr is this restore line).
+    * not the bare class logger. So the level must land on the package —
+    * and a PACKAGE-wide ERROR left in place by a library method would
+    * swallow every future genuine state-store WARN (maintenance
+    * failures, snapshot upload errors) for the JVM's lifetime. The
+    * bracket therefore restores the package's prior effective level on
+    * exit (pinning an inherited level explicitly — same observable
+    * behavior), and serializes on the object lock so overlapping runs
+    * cannot restore each other's saved level. The restore line itself
+    * fires inside micro-batch execution, which the bracket covers.
     */
-  def silenceStateStoreRestoreWarn(): Unit =
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.streaming.state",
-      org.apache.logging.log4j.Level.ERROR)
+  private val StateStoreLoggerPkg =
+    "org.apache.spark.sql.execution.streaming.state"
+
+  def withStateStoreRestoreWarnSilenced[T](f: => T): T = synchronized {
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.config.Configurator
+    val prior = LogManager.getLogger(StateStoreLoggerPkg).getLevel
+    Configurator.setLevel(StateStoreLoggerPkg, Level.ERROR)
+    try f
+    finally Configurator.setLevel(StateStoreLoggerPkg, prior)
+  }
 
   def runAvailableNow(df: DataFrame, name: String,
                       mode: OutputMode = OutputMode.Complete(),
                       statePartitions: Int = 8,
                       noDataBatches: Boolean = true,
                       checkpointDir: Option[String] = None): DataFrame = {
-    silenceStateStoreRestoreWarn()
     val spark = df.sparkSession
     // Complete: every batch is the full result → overwrite keeps the
     // last (= final) one. Append: new rows only → each batch lands in
@@ -184,7 +196,7 @@ object Streaming {
     // other's 'prev' and leave the reduced setting as the session value
     // (batch queries planned concurrently on the same session would
     // still see the override; this engine drives them sequentially)
-    try Streaming.synchronized {
+    try withStateStoreRestoreWarnSilenced { Streaming.synchronized {
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
       // noDataBatches=false skips the trailing empty micro-batch. That
@@ -224,7 +236,7 @@ object Streaming {
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
       }
-    } finally
+    }} finally
       // released on failure too — a crashed stream must not park its
       // state store + WAL on disk for the session's lifetime
       if (checkpointDir.isEmpty)
@@ -283,8 +295,7 @@ object Streaming {
     */
   def ingestOrders(spark: SparkSession, landingOrders: String,
                    bronzeOrders: String, checkpoint: String,
-                   maxFilesPerTrigger: Int = 2): Unit = {
-    silenceStateStoreRestoreWarn()
+                   maxFilesPerTrigger: Int = 2): Unit = withStateStoreRestoreWarnSilenced {
     val schema = spark.read.option("basePath", landingOrders)
       .parquet(landingOrders).schema
     val src = spark.readStream

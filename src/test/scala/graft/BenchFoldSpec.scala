@@ -94,6 +94,28 @@ class BenchFoldSpec extends AnyFunSuite {
     assert(Bench.medianRatio(collided, shortBase).contains(2.0))
   }
 
+  test("history sentinel reports coverage and dropped ids (not silent)") {
+    // the r16-r18 failure shape was SILENT coverage loss: the sentinel
+    // abstained (factor null) with nothing in the artifact saying how
+    // many queries matched. historySignal carries both.
+    val base = (1 to 20).map(i => f"q$i%02d" -> 1.0).toMap
+    val clean = (1 to 20).map(i => f"q$i%02d" -> 1.0)
+    val full = Bench.historySignal(clean, base)
+    assert(full.factor.contains(1.0) && full.matched == 20 && full.droppedIds.isEmpty)
+    // a prefix collision on the CURRENT side drops that id and says so
+    val collided = clean :+ ("q01_other_name" -> 9.0)
+    val c = Bench.historySignal(collided, base)
+    assert(c.matched == 19 && c.droppedIds == Seq("q01"))
+    // a baseline mixing short and full keys for the same query is an
+    // ambiguity on the BASELINE side — dropped and reported too
+    val mixedBase = base + ("q02_full_name" -> 1.0)
+    val m = Bench.historySignal(clean, mixedBase)
+    assert(m.matched == 19 && m.droppedIds == Seq("q02"))
+    // abstention is visible as matched < HistoryMinQueries, factor None
+    val few = Bench.historySignal(clean.take(Bench.HistoryMinQueries - 1), base)
+    assert(few.factor.isEmpty && few.matched == Bench.HistoryMinQueries - 1)
+  }
+
   test("synthetic background burn: the probe detects a deliberate CPU burn") {
     // the round-11 sentinel's failure mode was under-detection; this
     // locks the probe's sensitivity: a full-box spin burn must raise

@@ -190,4 +190,24 @@ class IncrementalSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$root/bronze/orders").exists(),
       "fail-fast: nothing may be written for a gated file")
   }
+
+  test("explode fails loudly on an EMPTY orders table (no 0-anchored grain)") {
+    // On empty input min/max(year) are null, and getAs[Int] unboxes
+    // null to 0 silently — without the NonEmpty gate explode would
+    // proceed with a year-0-anchored bucket grain instead of failing
+    // at the landing boundary like a null date does (r18 advice).
+    val src = TestSpark.tmpDir("inc-empty-src")
+    val root = TestSpark.tmpDir("inc-empty-root")
+    Seq.empty[(Long, Long, String, Double, Timestamp, String)]
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$src/orders.parquet")
+    val e = intercept[graft.engine.Quality.QualityGateException] {
+      Landing.explode(spark, src, s"$root/landing", periodFmt = "yyyy")
+    }
+    assert(e.getMessage.contains("non_empty") || e.getMessage.toLowerCase.contains("empty"),
+      s"gate must name the NonEmpty violation, got: ${e.getMessage}")
+    assert(!new java.io.File(s"$root/landing").exists(),
+      "fail-fast: an empty ingest must write no landing files")
+  }
 }

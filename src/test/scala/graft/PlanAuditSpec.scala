@@ -313,6 +313,47 @@ class PlanAuditSpec extends AnyFunSuite {
           .mkString("\n"))
   }
 
+  test("no registry query emits a raw DECIMAL output column (driver render tripwire)") {
+    // SURVEY §8's binding decimal-render rule, made mechanical: the
+    // driver's hash of a DECIMAL-typed OUTPUT column diverges on
+    // bit-identical values (proven twice — m07 r16, m08 r17, both on a
+    // 5-row constant probe whose rows and schema matched with the hash
+    // red). Until now only convention stopped a future registry query
+    // from emitting one and going driver-red; this walks every registry
+    // query's OUTPUT schema (recursively — a decimal buried in a struct
+    // or array renders through the same hash) and fails on any
+    // DecimalType. Decimal stays the mandated INTERNAL arithmetic type
+    // (the money-sum tripwire above enforces that side); only the final
+    // rendered column must be DOUBLE (m07/o82 pattern) or canonical
+    // VARCHAR (m08 pattern). Pipeline constructions run under the same
+    // walk: their outputs cross the same driver hash.
+    import org.apache.spark.sql.types._
+    def decimalPaths(dt: DataType, path: String): Seq[String] = dt match {
+      case _: DecimalType => Seq(path)
+      case s: StructType  => s.fields.toSeq.flatMap(f => decimalPaths(f.dataType, s"$path.${f.name}"))
+      case a: ArrayType   => decimalPaths(a.elementType, s"$path[]")
+      case m: MapType     => decimalPaths(m.keyType, s"$path.key") ++
+                             decimalPaths(m.valueType, s"$path.value")
+      case _              => Nil
+    }
+    def offenders(schema: StructType): Seq[String] =
+      schema.fields.toSeq.flatMap(f => decimalPaths(f.dataType, f.name))
+    // the tripwire must TRIP: a deliberate raw-DECIMAL frame (top-level
+    // and struct-nested) is red before the registry is declared green
+    import org.apache.spark.sql.functions.{lit, struct}
+    val probe = spark.range(1).select(
+      lit("1.5000").cast(DecimalType(18, 4)).as("money"),
+      struct(lit("2.25").cast(DecimalType(9, 2)).as("inner")).as("nested"))
+    assert(offenders(probe.schema) == Seq("money", "nested.inner"),
+      "tripwire failed to flag a deliberate raw-DECIMAL schema")
+    val bad = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      name -> offenders(fn(spark, sf).schema)
+    }.filter(_._2.nonEmpty).sortBy(_._1)
+    assert(bad.isEmpty,
+      "raw DECIMAL output columns (render to DOUBLE or VARCHAR — SURVEY §8):\n" +
+        bad.map { case (n, cs) => s"  $n: ${cs.mkString(", ")}" }.mkString("\n"))
+  }
+
   test("o69's lag + lead + row_number windows share one Exchange over user_id") {
     val plan = plans("o69_scd2_history")
     // the final orderBy adds a rangepartitioning Exchange; the windows

@@ -9,6 +9,26 @@ class StreamingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("state-store WARN silencer is scoped: package level restored on exit and on throw") {
+    // r18 advice: a package-wide ERROR baked in by a library method
+    // would swallow every future genuine state-store WARN JVM-wide.
+    // The bracket must silence only while the wrapped run executes.
+    import org.apache.logging.log4j.{Level, LogManager}
+    val pkg = "org.apache.spark.sql.execution.streaming.state"
+    val before = LogManager.getLogger(pkg).getLevel
+    val inside = Streaming.withStateStoreRestoreWarnSilenced {
+      LogManager.getLogger(pkg).getLevel
+    }
+    assert(inside == Level.ERROR, "level must be ERROR inside the bracket")
+    assert(LogManager.getLogger(pkg).getLevel == before,
+      "package level must be restored after the bracket")
+    intercept[RuntimeException](Streaming.withStateStoreRestoreWarnSilenced[Unit] {
+      throw new RuntimeException("boom")
+    })
+    assert(LogManager.getLogger(pkg).getLevel == before,
+      "package level must be restored even when the run throws")
+  }
+
   test("AvailableNow windowed agg equals the batch computation") {
     val sfDir = "/root/testdata/sf0.001"
     val streamed = Streaming.runAvailableNow(
