@@ -20,6 +20,13 @@ object Verify {
       // add nothing and their absence floods WARN "No checksum file found"
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .config("spark.ui.enabled", "false")
+      // same rationale as Bench: a 143-query stream in one JVM only
+      // frees broadcast/shuffle blocks after a driver GC notices them,
+      // and the default 30-MIN safety net lets them squeeze execution
+      // memory until a big late query dies of UNABLE_TO_ACQUIRE_MEMORY
+      // (o70 at sf10, round 19 — the first sweep-killing incidence).
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "2min"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
