@@ -21,6 +21,17 @@ for line in open(log):
     kind, name, rest = m.groups()
     size = re.match(r"\((\d+),\s*(\d+)\)", rest)
     n = int(size.group(1)) if size else None
+    # a malformed/concatenated log should not yield a plausible-looking
+    # CORRECTNESS json silently: PASS without a parseable "(rows, cols)"
+    # and duplicate decisions for one query are both loudly flagged
+    # (last-wins behavior kept — a targeted re-run legitimately
+    # supersedes an earlier sweep row)
+    if kind == "PASS" and n is None:
+        print(f"WARN: PASS row for {name} has no parseable (rows, cols): {rest!r}",
+              file=sys.stderr)
+    if name in rows:
+        print(f"WARN: duplicate decision for {name} — keeping the later line",
+              file=sys.stderr)
     if kind == "PASS":
         rows[name] = {"rows": n, "method": "duckdb", "match": True}
     elif kind == "PASS-proof":

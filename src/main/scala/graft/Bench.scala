@@ -237,11 +237,42 @@ object Bench {
       else Some(
         if (ratios.size % 2 == 1) ratios(ratios.size / 2)
         else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2.0)
-    HistorySignal(factor, ratios.size, (baseDropped ++ curDropped).distinct.sorted)
+    // baseline-side ambiguous ids only matter when this run actually has
+    // that id — a stale baseline entry for a since-deleted query never
+    // affected this run's coverage and would be noise in the warning
+    val curIds = current.map { case (n, _) => n.takeWhile(_ != '_') }.toSet
+    HistorySignal(factor, ratios.size,
+      (baseDropped.filter(curIds.contains) ++ curDropped).distinct.sorted)
   }
 
   def medianRatio(current: Seq[(String, Double)], baseline: Map[String, Double]): Option[Double] =
     historySignal(current, baseline).factor
+
+  /** Landing pad for the full-precision bench JSON. Cwd-relative
+    * `bench_out.json` is the driver's contract path and stays the
+    * default, but it is also a TRAP on a shared box: two benches (a
+    * manual sf10 run + the driver's sf0.1 run) clobber each other —
+    * exactly how round 19's sf10 artifact was lost even though the run
+    * could have completed. SPARK_GRAFT_BENCH_OUT overrides it so a
+    * manual run lands somewhere collision-free.
+    */
+  def outPath(env: Map[String, String]): String =
+    env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+
+  /** o31's glob scan makes FileStreamSink.hasMetadata probe the glob as
+    * a LITERAL path; when the data dir is cwd-relative the caught
+    * FileNotFoundException is WARN-logged with a full stack trace —
+    * several times per bench (min-of-two reruns) — and reads as an o31
+    * failure to anyone triaging the log, though the read itself
+    * proceeds. Pin that one logger to ERROR after setLogLevel (which
+    * (re)sets the root level) so run logs carry zero fake traces.
+    */
+  def silenceGlobProbeWarn(): Unit = {
+    import org.apache.logging.log4j.Level
+    import org.apache.logging.log4j.core.config.Configurator
+    Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink", Level.ERROR)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -271,6 +302,7 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "2min"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    silenceGlobProbeWarn()
 
     def materialize(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
@@ -380,6 +412,12 @@ object Bench {
     val histSignal =
       if (baseSf.contains(sfShort)) historySignal(timed, baseQueries)
       else HistorySignal(None, 0, Nil)
+    // parallel to the ABSTAINED message below: when the sentinel is off
+    // because the baseline was recorded at a different sf, say so — a
+    // noisy:false on such a run is probe-only, and the reader must not
+    // mistake history_n:0 for a coverage bug
+    if (baseQueries.nonEmpty && !baseSf.contains(sfShort))
+      System.err.println(s"[bench] history sentinel OFF: baseline sf ${baseSf.getOrElse("unknown")} != run sf $sfShort — noisy verdict is CPU-probe-only")
     val histFactorOpt = histSignal.factor
     if (histSignal.droppedIds.nonEmpty)
       System.err.println(s"[bench] history sentinel dropped ${histSignal.droppedIds.size} ambiguous short ids: ${histSignal.droppedIds.mkString(", ")}")
@@ -421,7 +459,7 @@ object Bench {
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"setup_sec":${rnd(setupSec, 2)},"n_errors":${errors.size}$noiseJson,"sf":${Json.quote(sfShort)}}"""
     val json = Iterator(2, 1, 0)
       .map(stdoutJson).find(_.length <= 1985).getOrElse(noQueries)
-    Files.writeString(Paths.get("bench_out.json"),
+    Files.writeString(Paths.get(outPath(sys.env)),
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${timed.map { case (k, v) => Json.quote(k) + ":" + v }.mkString("{", ",", "}")},"setup_sec":$setupSec,"n_errors":${errors.size},"errors":$errJson,"cpus":$cpusN,"probe_samples":${probeSamples.mkString("[", ",", "]")},"calibration_sec":$calibrationSec,"calibration_norm_sec":$probeNorm,"noise_factor":$cpuFactor,"history_factor":$histJson,"history_n":${histSignal.matched},"history_dropped_ids":${histSignal.droppedIds.map(Json.quote).mkString("[", ",", "]")},"history_baseline_sf":${baseSf.map(Json.quote).getOrElse("null")},"noisy":$noisy,"noise_note":${Json.quote(noiseNote)},"sf":${Json.quote(sfDir)}}""")
     if (noisy)
       System.err.println(f"[bench] NOISY run: probe max $calibrationSec%.2f s vs norm $probeNorm%.2f s (factor $cpuFactor%.2f), history factor ${histJson} — treat totals as polluted")

@@ -29,6 +29,8 @@ object Verify {
         sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "2min"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // zero fake o31 FileNotFoundException traces in sweep logs (see scaladoc)
+    Bench.silenceGlobProbeWarn()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

@@ -50,14 +50,26 @@ object GraphQueries {
     // Every CTE is AS MATERIALIZED: DuckDB inlines single-use CTEs, so
     // the un-hinted 5-round chain plans as one 5-deep join pipeline
     // whose working set at sf10 exhausted 37 GB of spill temp (the r15
-    // sweep's one undecidable row). Materialized, each round evaluates
-    // once into a |V|-row temp and the sweep decides o70 in ~9 min
-    // under a 40 GB temp cap (measured, rank-exact vs the Spark dump).
+    // sweep's one undecidable row). Materialized-only was still not
+    // enough at sf10 (r16's 552 s decayed past even a 2400 s solo
+    // budget after the r17 layout change + host slowdown), so each
+    // round now mirrors the Spark side's shape exactly (round 20):
+    // a |V|-row contribution frame c_i = rank // deg is materialized
+    // FIRST via the small node⋈node join, so the |E|-row pass is a
+    // single join+agg instead of a 3-way join — and every rank is
+    // CAST back to BIGINT per round, because DuckDB widens
+    // SUM(BIGINT) to HUGEINT and the un-cast chain dragged 16-byte
+    // ranks through all five |E|-row aggregations. Exact: total rank
+    // mass is |V|·1.5e6 ≲ 2^42, ×85 still ≪ 2^63, so the BIGINT
+    // round-trip loses nothing (same longs the Spark side carries).
     def round(prev: String, cur: String): String =
-      s"""$cur AS MATERIALIZED (
+      s"""c$cur AS MATERIALIZED (
+         |  SELECT deg.src AS src, CAST($prev.rank // deg.deg AS BIGINT) AS c
+         |  FROM deg JOIN $prev ON $prev.node = deg.src),
+         |$cur AS MATERIALIZED (
          |  SELECT ed.dst AS node,
-         |         150000 + (85 * SUM($prev.rank // deg.deg)) // 100 AS rank
-         |  FROM ed JOIN deg USING (src) JOIN $prev ON $prev.node = ed.src
+         |         CAST(150000 + (85 * CAST(SUM(c) AS BIGINT)) // 100 AS BIGINT) AS rank
+         |  FROM ed JOIN c$cur USING (src)
          |  GROUP BY ed.dst)""".stripMargin
     Map(
       "o70_pagerank" ->

@@ -114,6 +114,23 @@ class BenchFoldSpec extends AnyFunSuite {
     // abstention is visible as matched < HistoryMinQueries, factor None
     val few = Bench.historySignal(clean.take(Bench.HistoryMinQueries - 1), base)
     assert(few.factor.isEmpty && few.matched == Bench.HistoryMinQueries - 1)
+    // a baseline-side ambiguity for an id ABSENT from this run (a
+    // since-deleted query) never affected coverage and is not reported
+    val staleBase = base + ("z99_gone" -> 1.0) + ("z99_gone_too" -> 1.0)
+    val s = Bench.historySignal(clean, staleBase)
+    assert(s.matched == 20 && s.droppedIds.isEmpty)
+  }
+
+  test("bench landing pad: env override, driver-contract default") {
+    // round 19 lost a completed-capable sf10 bench to the hardcoded cwd
+    // bench_out.json (the driver's later sf0.1 run clobbered it); the
+    // env override gives concurrent benches distinct files while the
+    // driver's contract path stays the default
+    assert(Bench.outPath(Map.empty) == "bench_out.json")
+    assert(Bench.outPath(Map("SPARK_GRAFT_BENCH_OUT" -> "/tmp/bench_sf10.json"))
+      == "/tmp/bench_sf10.json")
+    // unrelated env noise does not redirect the landing pad
+    assert(Bench.outPath(Map("SPARK_GRAFT_SF_DIR" -> "x")) == "bench_out.json")
   }
 
   test("synthetic background burn: the probe detects a deliberate CPU burn") {
