@@ -65,16 +65,22 @@ object Graph {
                          broadcastRanks: Boolean = true): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     val src: Column = col(srcCol)
-    val deg = edges.groupBy(src.as("src")).agg(count(lit(1)).as("deg"))
     // materialized ONCE (lazy localCheckpoint, partitioned on src, so
     // round 1's job both computes and persists it): every later round's
     // job reads these blocks instead of re-shuffling the edge list —
     // the cross-JOB equivalent of the ReusedExchange the pre-round-15
-    // single-plan shape relied on, now that each round is its own
-    // checkpointed job (see below)
+    // single-plan shape relied on, now that each round is its own job.
+    // Degrees ride a COUNT WINDOW over the same src-keyed exchange the
+    // frame needs anyway (round 20): the previous groupBy(src)⋈edges +
+    // repartition(src) shape paid the degree aggregation's exchange AND
+    // the join (sort-merge with two more exchanges once |V| outgrows
+    // the broadcast threshold) AND the pin — one edge-list pass per
+    // round-0 instead of three, identical degs (count per src is
+    // partition-order-free).
     val edgesDeg = edges.select(src.as("src"), col(dstCol).as("dst"))
-      .join(deg, "src")
       .repartition(col("src"))
+      .withColumn("deg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .localCheckpoint(false)
     val teleport = (100L - dampingPct) * unit / 100L
     // eager localCheckpoint per round (the kmeansAssign discipline):
@@ -100,7 +106,14 @@ object Graph {
     // per-round job is then map-side join over the cached edge blocks +
     // a partially-aggregated (node, contribution) exchange that is ≤|V|
     // rows per reducer — nothing edge-sized moves after round 0.
-    var rk = deg.select(col("src").as("node"), lit(unit).as("rank"))
+    // rank seed from the cached edge frame, not a fresh deg plan: the
+    // old `deg.select(...)` seed replayed the whole upstream edge
+    // derivation (scan → distinct → union → groupBy) inside round 1's
+    // broadcast build; this distinct reads the just-materialized
+    // checkpoint blocks instead (round 20, measured as part of the
+    // o70 4.43 s → below rework).
+    var rk = edgesDeg.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(unit).as("rank"))
     var prev: DataFrame = null
     for (i <- 1 to iterations) {
       val rkSide = if (broadcastRanks) broadcast(rk) else rk
@@ -109,7 +122,23 @@ object Graph {
         .groupBy(col("node"))
         .agg((lit(teleport) +
           expr(s"($dampingPct * sum(c)) div 100")).as("rank"))
-      if (i % 2 == 0 || i == iterations) {
+      // broadcast path (round 20): NO intermediate checkpoints. Each
+      // round's rank frame is a broadcast-exchange child built exactly
+      // once when the round above it executes — the nested builds fire
+      // round-by-round inside the FINAL round's one materialization, so
+      // the per-round work is still O(k) joins over the cached edge
+      // blocks, minus (k/2 − 1) checkpoint jobs' dispatch + block
+      // write/read (sf0.1: o70 4.43 s → 3.5 s class). The final round
+      // IS checkpointed: it is the returned frame's only lineage, which
+      // is what lets the edge blocks be released below.
+      // shuffle-join path (broadcastRanks=false, the |V| ≫ memory
+      // regime): keep the round-15 stride-2 eager checkpoints — a lazily
+      // unrolled shuffle-join tree re-plans a k-deep join pyramid and
+      // re-derives rounds on replay (measured at sf1/o70: 14.0 s).
+      val checkpointNow =
+        if (broadcastRanks) i == iterations
+        else i % 2 == 0 || i == iterations
+      if (checkpointNow) {
         rk = next.localCheckpoint(true)
         if (prev != null) prev.unpersist()
         prev = rk

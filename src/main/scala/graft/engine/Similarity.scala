@@ -346,8 +346,7 @@ object Similarity {
     var cent = qT.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cluster"),
         col("qv").as("cv"), col("qn2").as("cn2"))
-    var prevCent: DataFrame = null
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val assigned = qT.crossJoin(broadcast(cent))
         .select(col("vec_id"), col("qv"), col("cluster"),
           dist2(col("qn2"), col("qv"), col("cn2"), col("cv")).as("d"))
@@ -355,12 +354,7 @@ object Similarity {
         .agg(min(struct(col("d"), col("cluster"))).as("m"),
           first(col("qv")).as("qv")) // qv is functionally dependent on vec_id
         .select(col("vec_id"), col("m.cluster").as("cluster"), col("qv"))
-      // eager localCheckpoint truncates the lineage each round (the
-      // connectedComponents discipline): without it round i replays all
-      // prior rounds' corpus scans — O(iter²) scans instead of O(iter).
-      // The checkpointed frame is ≤ k centroid rows, so the cost is the
-      // round's own job and nothing else.
-      cent = assigned
+      val next = assigned
         .select(col("cluster"), posexplode(col("qv")))
         .groupBy(col("cluster"), col("pos"))
         .agg(sum(col("col").cast("long")).as("s"), count(lit(1)).as("n"))
@@ -371,14 +365,18 @@ object Similarity {
         .select(col("cluster"),
           transform(array_sort(col("pv")), x => x.getField("v")).as("cv"))
         .withColumn("cn2", VectorOps.normSq(col("cv")))
-        .localCheckpoint(true)
-      // the new round's frame is materialized; the superseded round's
-      // checkpoint blocks are dead weight in the block manager — release
-      // them NOW rather than at GC time, or a long query stream (the
-      // bench; any real cluster session) accumulates them until some
-      // later join pays for the memory in spills
-      if (prevCent != null) prevCent.unpersist()
-      prevCent = cent
+      // ONLY the final round is eagerly checkpointed (round 20).
+      // Intermediate rounds stay lazy: each round's centroid frame is a
+      // broadcast-exchange child of the next round's plan, so the final
+      // checkpoint's one action fires the nested builds round-by-round —
+      // every round still computed exactly once over the cached qT
+      // blocks (no O(iter²) replay: the corpus never re-derives, and a
+      // ≤k-row broadcast subtree is built once per use) — minus
+      // (iterations − 1) checkpoint jobs' dispatch + block write/read.
+      // The final checkpoint stays: it truncates the returned frame's
+      // lineage so qT can be released below without forcing a retrain
+      // on the caller's first action.
+      cent = if (i == iterations) next.localCheckpoint(true) else next
     }
     // training corpus cache released here (the final centroid frame is
     // eagerly checkpointed, so nothing downstream reads qT).
@@ -448,12 +446,7 @@ object Similarity {
     var fineCent = qa.join(broadcast(seedIds), Seq("vec_id", "cluster"))
       .select(col("cluster"), col("fine"),
         col("qv").as("cv"), col("qn2").as("cn2"))
-      .localCheckpoint(true)
-    // unlike lloydCentroids (whose init codebook is a lazy filter), the
-    // seed codebook above IS checkpointed — seed prevFine with it so
-    // round 1 releases it like every later superseded round
-    var prevFine: DataFrame = fineCent
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val assigned = qa.join(broadcast(fineCent), Seq("cluster"))
         .select(col("vec_id"), col("cluster"), col("qv"), col("fine"),
           dist2(col("qn2"), col("qv"), col("cn2"), col("cv")).as("d"))
@@ -461,7 +454,7 @@ object Similarity {
         .agg(min(struct(col("d"), col("fine"))).as("m"),
           first(col("qv")).as("qv"))
         .select(col("cluster"), col("m.fine").as("fine"), col("qv"))
-      fineCent = assigned
+      val next = assigned
         .select(col("cluster"), col("fine"), posexplode(col("qv")))
         .groupBy(col("cluster"), col("fine"), col("pos"))
         .agg(sum(col("col").cast("long")).as("s"), count(lit(1)).as("n"))
@@ -472,9 +465,12 @@ object Similarity {
         .select(col("cluster"), col("fine"),
           transform(array_sort(col("pv")), x => x.getField("v")).as("cv"))
         .withColumn("cn2", VectorOps.normSq(col("cv")))
-        .localCheckpoint(true)
-      if (prevFine != null) prevFine.unpersist()
-      prevFine = fineCent
+      // final-round-only eager checkpoint — the lloydCentroids round-20
+      // rework verbatim (see its in-loop comment): intermediates are
+      // built exactly once as nested ≤k-row broadcast subtrees of the
+      // final checkpoint's one action; the last round's checkpoint lets
+      // qa be released below without a retrain.
+      fineCent = if (i == iterations) next.localCheckpoint(true) else next
     }
     // the final fine codebook is materialized; the training corpus cache
     // is dead weight from here — release it NOW (the returned frame
@@ -678,16 +674,14 @@ object Similarity {
     var cb = qt.filter(col("vec_id") < ksub.toLong * sampleMod)
       .select(col("sub"), expr(s"vec_id div $sampleMod").cast("int").as("code"),
         col("sv").as("cv"), col("sn2").as("cn2"))
-      .localCheckpoint(true)
-    var prevCb: DataFrame = cb
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val assigned = qt.join(broadcast(cb), Seq("sub"))
         .select(col("vec_id"), col("sub"), col("sv"), col("code"),
           dist2(col("sn2"), col("sv"), col("cn2"), col("cv")).as("d"))
         .groupBy(col("vec_id"), col("sub"))
         .agg(min(struct(col("d"), col("code"))).as("mn"),
           first(col("sv")).as("sv")) // sv functionally depends on (vec_id, sub)
-      cb = assigned
+      val next = assigned
         .select(col("sub"), col("mn.code").as("code"), posexplode(col("sv")))
         .groupBy(col("sub"), col("code"), col("pos"))
         .agg(sum(col("col").cast("long")).as("s"), count(lit(1)).as("n"))
@@ -698,9 +692,11 @@ object Similarity {
         .select(col("sub"), col("code"),
           transform(array_sort(col("pv")), x => x.getField("v")).as("cv"))
         .withColumn("cn2", VectorOps.normSq(col("cv")))
-        .localCheckpoint(true)
-      if (prevCb != null) prevCb.unpersist()
-      prevCb = cb
+      // final-round-only eager checkpoint — the lloydCentroids round-20
+      // rework verbatim: intermediate codebooks are nested ≤m·ksub-row
+      // broadcast subtrees built once inside the final checkpoint's
+      // action; the last round's checkpoint lets qt be released below.
+      cb = if (i == iterations) next.localCheckpoint(true) else next
     }
     // training state released; cb (≤ m·ksub rows) is all that survives
     qt.unpersist()
