@@ -254,6 +254,23 @@ object Dedup {
   def minhashLshJaccard(docs0: DataFrame, threshold: Double = 0.8,
                         k: Int = 32, bandRows: Int = 2, w: Int = 3,
                         maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val (repPairs, members, multi) =
+      minhashVerifiedRepPairs(docs0, threshold, k, bandRows, w, maxBucket)
+    expandGroups(repPairs, members, "jaccard")
+      .unionByName(withinGroupPairs(members, multi)
+        .withColumn("jaccard", lit(1.0))
+        .filter(lit(1.0) >= threshold))
+  }
+
+  /** Verified rep-level LSH pairs plus the collapse frames — the shared
+    * core of [[minhashLshJaccard]] (which expands them to the full
+    * member-level pair contract) and [[minhashLshClusterEdges]] (which
+    * only needs their CONNECTIVITY).
+    */
+  private def minhashVerifiedRepPairs(docs0: DataFrame, threshold: Double,
+                                      k: Int, bandRows: Int, w: Int,
+                                      maxBucket: Int)
+  : (DataFrame, DataFrame, DataFrame) = {
     val (cand, members, _, multi) =
       minhashRepCandidates(docs0, k, bandRows, w, maxBucket)
     // Shingle only the CANDIDATE reps: the exact-Jaccard verify needs
@@ -289,10 +306,42 @@ object Dedup {
       .select(col("a"), col("b"), col("ga"), col("gb"),
         TextOps.jaccard(col("sa"), col("sb")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    expandGroups(repPairs, members, "jaccard")
-      .unionByName(withinGroupPairs(members, multi)
-        .withColumn("jaccard", lit(1.0))
-        .filter(lit(1.0) >= threshold))
+    (repPairs, members, multi)
+  }
+
+  /** A LINEAR-size edge set with the same CONNECTIVITY as
+    * [[minhashLshJaccard]]'s member-level pair output — the right input
+    * for connected components (o54), where the full pair contract's
+    * quadratic identical-group cliques and cross-group expansions buy
+    * nothing: a clique and a star connect the same vertex set.
+    *
+    * Edges: (1) verified rep-level pairs (a, b) — both endpoints are
+    * group minima, exactly the pairs [[expandGroups]] would fan out to
+    * every member combination; (2) intra-group STARS (rep → member) for
+    * multi-member groups — the [[withinGroupPairs]] clique collapsed to
+    * gn − 1 edges per group. Equivalence, both directions: every star /
+    * rep edge appears in the full pair set (rep = min member, so
+    * (rep, member) ∈ withinGroupPairs and (repA, repB) ∈ the expansion);
+    * every full-set pair (xa ∈ ga, xb ∈ gb) is a path
+    * xa — rep(ga) — rep(gb) — xb over these edges. Components, and so
+    * o54's (doc_id, comp, is_kept) output, are hash-identical — while
+    * the edge build drops the two expansion joins, the salted
+    * within-group self-join, AND the downstream distinct over a
+    * worst-case quadratic pair list (a million-doc boilerplate group is
+    * 10¹² pairs but 10⁶ − 1 star edges).
+    */
+  def minhashLshClusterEdges(docs0: DataFrame, threshold: Double = 0.8,
+                             k: Int = 32, bandRows: Int = 2, w: Int = 3,
+                             maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val (repPairs, members, multi) =
+      minhashVerifiedRepPairs(docs0, threshold, k, bandRows, w, maxBucket)
+    val reps = members.groupBy(col("gkey")).agg(min(col("doc_id")).as("rep"))
+    val stars = members.join(multi, Seq("gkey"), "left_semi")
+      .join(reps, "gkey")
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("a"), col("doc_id").as("b"))
+      .filter(lit(1.0) >= threshold) // withinGroupPairs' threshold gate
+    repPairs.select(col("a"), col("b")).unionByName(stars)
   }
 
   /** Exact duplicate groups by full-text hash — the scale-safe exact
