@@ -49,16 +49,17 @@ import graft.functions.{PortableHashFunctions, TextHashFunctions}
   *     under the bound are untouched, so at testdata scales the output
   *     is bit-identical to the unsalted pipeline.
   *
-  * Execution shape (round-12): text is heavy and hashing it is the
-  * dominant compute, so each pipeline makes exactly ONE pass over the
-  * corpus text computing the group key (md5) and the signature together,
-  * materialized behind an explicit repartition Exchange that every
-  * consumer — the rep aggregation, the hot-bucket census, both
-  * band-join sides, membership expansion — re-reads via ReusedExchange.
-  * Text bytes are never shuffled: only 32-char keys, fixed-size
-  * signatures and ids move. The one other text pass is the MinHash
-  * verify's shingling, and it is candidate-pruned (broadcast semi-join,
-  * plan-audited).
+  * Execution shape (round-12, hardened round-20): text is heavy and
+  * hashing it is the dominant compute, so each pipeline makes exactly
+  * ONE pass over the corpus text computing the group key (md5) and the
+  * signature together, materialized once (eager localCheckpoint — see
+  * [[projected]] for why the previous reuse-an-Exchange shape silently
+  * re-ran the pass under column pruning) and read by every consumer —
+  * the rep aggregation, the hot-bucket census, both band-join sides,
+  * membership expansion. Text bytes are never shuffled: only 32-char
+  * keys, fixed-size signatures and ids move. The one other text pass is
+  * the MinHash verify's shingling, and it is candidate-pruned
+  * (broadcast semi-join, plan-audited).
   *
   * Bucket skew is thereby bounded: ≤ 65k buckets per SimHash band index
   * with hot ones split 4×4096-way; MinHash hot buckets split by 15
@@ -88,20 +89,31 @@ object Dedup {
   private def spread(docs: DataFrame): DataFrame = Spread(docs)
 
   /** The single corpus-text pass: (doc_id, gkey = md5(text), sig),
-    * pinned behind a repartition Exchange so every downstream consumer
-    * — the rep aggregation, the hot-bucket census, both band-join
-    * sides, the membership/expansion frames — re-reads ONE
-    * computation via exchange reuse instead of re-scanning the corpus.
-    * Signatures of duplicate members are computed (not just reps') —
-    * that trade buys never shuffling text: the exchange carries
-    * ~300 bytes/doc (id + 32-char key + fixed-size signature), so at
-    * 100 TB of text the one barrier moves ~0.3% of the corpus bytes
-    * where each avoided re-scan would have read all of them.
+    * MATERIALIZED once (eager localCheckpoint) so every downstream
+    * consumer — the rep aggregation, the hot-bucket census, both
+    * band-join sides, the membership/expansion frames — reads the same
+    * computed blocks. Round 20: this was previously a repartition
+    * Exchange relying on reuse, but column pruning CLONES such an
+    * exchange per projection width (the members consumer needs no sig,
+    * so Catalyst planned a narrower copy whose map side re-ran the
+    * text pass — the o22 sf0.1 plan carried 10+ planned instances of
+    * `minhashexpr(text)`, ≥2 of them executed). The checkpoint is a
+    * hard materialization barrier no optimizer rule can split, so the
+    * signature pass runs EXACTLY once by construction. Signatures of
+    * duplicate members are computed (not just reps') — that trade buys
+    * never shuffling text: the blocks carry ~300 bytes/doc (id +
+    * 32-char key + fixed-size signature), ~0.3% of the corpus bytes.
+    * Block residue: the checkpoint frame is the returned pipeline's
+    * lineage root, so the callee cannot release it; the ≈300 B/doc
+    * blocks are freed by the caller's terminal action + periodic GC —
+    * the same bounded trade as lloydCentroids' final codebook, and
+    * strictly smaller than the shuffle files the cloned exchanges
+    * wrote.
     */
   private def projected(docs0: DataFrame, sig: Column, sigName: String): DataFrame =
     spread(docs0)
       .select(col("doc_id"), md5(col("text")).as("gkey"), sig.as(sigName))
-      .repartition(col("doc_id"))
+      .localCheckpoint(true)
 
   /** All intra-group pairs (a < b) of multi-member identical-text
     * groups, via the EmitSalts-way salted self-join: the a-side keeps
