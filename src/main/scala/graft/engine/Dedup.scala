@@ -703,9 +703,14 @@ object Dedup {
     // sum: 1e12 ids × 1e12 max label overflows a long's 9.2e18.
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("comp").cast("decimal(38,0)"))).first().getDecimal(0)
+    // one action, not two (round 20): the seed labels' sum is null iff
+    // comp is empty iff the edge list is empty — the separate
+    // edges.isEmpty probe job folds into the sum the loop needs anyway
+    // (comp's checkpoint above already materialized edges into the
+    // persisted blocks).
     var iter = 0
-    var converged = edges.isEmpty
-    var prevSum = if (converged) null else labelSum(comp)
+    var prevSum = labelSum(comp)
+    var converged = prevSum == null
     while (!converged && iter < maxIter) {
       // rule 1: min over self + neighbors
       val viaNeighbor = edges

@@ -315,21 +315,33 @@ object TpchQueries {
     // relation is Q21's point). DISTINCT (order, supplier) pairs make
     // the count well-defined when a supplier returns several lines of
     // one order.
+    // Round 20 rewrite (same result, aggregation instead of non-equi
+    // probes): "∃ another supplier in the order" ⟺ the order has ≥ 2
+    // distinct suppliers, and "∄ another RETURNING supplier" ⟺ the
+    // order's distinct returning-supplier count is exactly 1 — so both
+    // EXISTS probes collapse into counts. The old shape ran a semi and
+    // an anti join whose l_suppkey <> probe.supp residual made every
+    // probe row scan its whole orderkey group (a hot order's group is
+    // quadratic work, and the anti's build side was the full returned
+    // set); now the per-order supplier count is a map-side-combinable
+    // aggregate, the sole-returning filter is a count window over the
+    // already-grouped returned pairs, and the one remaining join is a
+    // plain equi semi-join on orderkey. Oracle unchanged.
     "t15_sole_returning_supplier" -> ((s, d) => {
       val li = lineitem(s, d)
       val returned = li.filter(col("l_returnflag") === "R")
         .select(col("l_orderkey"), col("l_suppkey")).distinct()
-      val others = li.select(col("l_orderkey").as("o_key"), col("l_suppkey").as("o_supp"))
-        .distinct()
-      val otherReturned = returned
-        .select(col("l_orderkey").as("r_key"), col("l_suppkey").as("r_supp"))
-      returned
-        .join(others,
-          col("l_orderkey") === col("o_key") && col("l_suppkey") =!= col("o_supp"),
-          "left_semi")
-        .join(otherReturned,
-          col("l_orderkey") === col("r_key") && col("l_suppkey") =!= col("r_supp"),
-          "left_anti")
+      val soleReturned = returned
+        .withColumn("n_ret", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("l_orderkey"))))
+        .filter(col("n_ret") === 1)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val multiSupplier = li.groupBy(col("l_orderkey").as("o_key"))
+        .agg(countDistinct(col("l_suppkey")).as("n_all"))
+        .filter(col("n_all") >= 2)
+        .select(col("o_key"))
+      soleReturned
+        .join(multiSupplier, col("l_orderkey") === col("o_key"), "left_semi")
         .join(broadcast(supplier(s, d).select(col("s_suppkey"), col("s_name"))),
           col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("s_name"))
