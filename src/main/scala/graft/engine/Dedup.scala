@@ -356,6 +356,54 @@ object Dedup {
     repPairs.select(col("a"), col("b")).unionByName(stars)
   }
 
+  /** o54's composed form — [[connectedComponents]] over
+    * [[minhashLshJaccard]]'s pair graph, computed WITHOUT ever feeding
+    * members through the label loop: the iteration runs on the verified
+    * REP-level pairs only, and group members attach with one post-loop
+    * join. Equivalence with CC over the member-level graph (skeleton or
+    * full clique expansion — all three have the same connectivity, see
+    * [[minhashLshClusterEdges]]):
+    *
+    *  - a member m of group g reaches other nodes only through rep(g)
+    *    (identical-text membership plus rep-level pairs are the only
+    *    connectivity sources), so comp(m) = comp(rep(g));
+    *  - rep labels over the rep-pair graph are exactly [[ccLabels]]'s
+    *    output, with unpaired reps labelling themselves — and since
+    *    rep(g) = min(g) ≤ m, the component minimum over member-level
+    *    reachability equals the minimum over rep-level reachability;
+    *  - every doc has a gkey, so `members ⋈ reps` covers the corpus the
+    *    way connectedComponents' docs-join does.
+    *
+    * What this buys at scale: the loop's per-round frames shrink from
+    * O(|dup members| + |pairs|) to O(|pairs|) rows — a boilerplate-heavy
+    * corpus (millions of identical-text members, the documented worst
+    * case) pays for its duplicates exactly once, in the final attach
+    * join, instead of once per CC round — and the skeleton's star-edge
+    * build (semi-join + reps join + union into the loop's distinct)
+    * drops out of the plan entirely. The degenerate threshold > 1 gate
+    * ([[withinGroupPairs]]' emission filter) is preserved: there the
+    * pair set is empty AND stars never existed, so every doc is its own
+    * component.
+    */
+  def minhashLshComponents(docs0: DataFrame, threshold: Double = 0.8,
+                           k: Int = 32, bandRows: Int = 2, w: Int = 3,
+                           maxBucket: Int = DefaultMaxBucket,
+                           maxIter: Int = 30): DataFrame = {
+    val (repPairs, members, _) =
+      minhashVerifiedRepPairs(docs0, threshold, k, bandRows, w, maxBucket)
+    val labels = ccLabels(repPairs.select(col("a"), col("b")), maxIter)
+      .withColumnRenamed("id", "rep")
+    val reps = members.groupBy(col("gkey")).agg(min(col("doc_id")).as("rep"))
+    // threshold > 1 severs the member→rep attachment exactly as it
+    // suppressed the skeleton's star edges (and empties repPairs, since
+    // jaccard ≤ 1): every doc then labels itself.
+    val anchor = if (threshold <= 1.0) col("rep") else col("doc_id")
+    members.join(reps, "gkey")
+      .join(labels, Seq("rep"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), anchor).as("comp"))
+      .withColumn("is_kept", col("doc_id") === col("comp"))
+  }
+
   /** Exact duplicate groups by full-text hash — the scale-safe exact
     * dedup (shuffle buckets by md5, never compares texts pairwise).
     * Same shape as query o03; here returning one row per KEPT doc with
@@ -606,14 +654,21 @@ object Dedup {
     val hist = fp(history0)
     // the batch fingerprints have THREE consumers (Bloom-negative
     // filter, Bloom-positive filter, candidate-fingerprint distinct) —
-    // pin them behind a narrow (id, fingerprint) repartition Exchange so
-    // the batch text is read and shingled ONCE and every consumer
-    // re-reads the exchange (the projected() pattern). History gets no
-    // such pin on purpose: pinning means shuffling, and the whole point
-    // is that history rows never enter an exchange — its two map-only
-    // passes (Bloom build, semi-prune) stand in for a persisted
-    // fingerprint manifest.
-    val batch = fp(batch0).repartition(col("doc_id"))
+    // MATERIALIZED once (eager localCheckpoint, the projected() barrier,
+    // round 20). The previous repartition pin was double-defeated by the
+    // optimizer: column pruning cloned the exchange per consumer (three
+    // separate scan→fingerprint stages), and because the Bloom-probe UDF
+    // is deterministic, Catalyst pushed the filter BELOW the fingerprint
+    // projection — re-deriving the whole winnowing chain inside the
+    // Filter condition to feed the UDF, then computing it AGAIN in the
+    // Project (guide §4.4's duplicated-evaluation shape): ~6 fingerprint
+    // passes over the batch text for one logical pass. The checkpoint is
+    // a barrier no rule can split or push through, so the batch text is
+    // read and fingerprinted exactly once. History gets no such pin on
+    // purpose: its two map-only passes (Bloom build, semi-prune) stand
+    // in for a persisted fingerprint manifest and history rows never
+    // enter an exchange.
+    val batch = fp(batch0).localCheckpoint(true)
     val bloom = hist.stat.bloomFilter("fingerprint", expectedHistoryItems, fpp)
     val bloomB = batch0.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((f: String) => bloomB.value.mightContainString(f))
@@ -686,7 +741,21 @@ object Dedup {
     * would need a component with > 2^30 nodes to be mid-flight.
     */
   def connectedComponents(pairs: DataFrame, docs: DataFrame,
-                          maxIter: Int = 30): DataFrame = {
+                          maxIter: Int = 30): DataFrame =
+    docs.select(col("doc_id"))
+      .join(ccLabels(pairs, maxIter).withColumnRenamed("id", "doc_id"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("comp"))
+      .withColumn("is_kept", col("doc_id") === col("comp"))
+
+  /** The label loop of [[connectedComponents]], exposed over the edge
+    * list alone: (id, comp = min reachable id) for every node that
+    * appears in `pairs`. Callers own the fill-in for isolated nodes
+    * (connectedComponents' docs-join, [[minhashLshComponents]]' rep
+    * attach).
+    */
+  private[graft] def ccLabels(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
     val fwd = pairs.select(col("a").as("src"), col("b").as("dst"))
     val edges = fwd.unionByName(
         fwd.select(col("dst").as("src"), col("src").as("dst")))
@@ -738,10 +807,6 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds")
-    docs.select(col("doc_id"))
-      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("comp"), col("doc_id")).as("comp"))
-      .withColumn("is_kept", col("doc_id") === col("comp"))
+    comp
   }
 }

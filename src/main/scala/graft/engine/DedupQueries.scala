@@ -51,15 +51,16 @@ object DedupQueries {
     // (min-label propagation + path halving, O(log n) rounds) over the
     // o22 pair graph. Every doc appears; comp = min reachable doc_id;
     // is_kept marks the canonical survivor a pipeline retains.
-    // Round 20: the CC input is minhashLshClusterEdges — the o22 pair
-    // graph's LINEAR-size connectivity skeleton (verified rep pairs +
-    // intra-group stars) instead of its quadratic member-level clique
-    // expansion; components are provably identical (see the edge
-    // builder's equivalence note) and the oracle is unchanged.
+    // Round 20, twice: first the CC input shrank to the pair graph's
+    // LINEAR-size connectivity skeleton (verified rep pairs + intra-
+    // group stars) instead of its quadratic clique expansion; then the
+    // loop stopped seeing members at all — minhashLshComponents runs
+    // the label iteration on the verified REP pairs only and attaches
+    // members with one post-loop join (components provably identical —
+    // see its equivalence note; the oracle is unchanged).
     "o54_dedup_components" -> ((s, d) =>
-      Dedup.connectedComponents(
-        Dedup.minhashLshClusterEdges(documents(s, d), threshold = 0.8),
-        documents(s, d)).orderBy("doc_id")),
+      Dedup.minhashLshComponents(documents(s, d), threshold = 0.8)
+        .orderBy("doc_id")),
 
     // normalization-equivalence dedup over the corpus PLUS a derived
     // adversarial copy of itself (text uppercased, space-padded,

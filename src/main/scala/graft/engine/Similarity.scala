@@ -231,8 +231,19 @@ object Similarity {
     require(planes % bands == 0, "planes must divide into bands")
     require(t < bands, s"pigeonhole completeness needs t < bands, got t=$t bands=$bands")
     val bandBits = planes / bands
-    val banded = srpSignatures(emb, planes, quantScale)
+    // (vec_id, sig, cluster) MATERIALIZED once (eager localCheckpoint,
+    // round 20): the A/B alias self-join below was planned as two FULL
+    // duplicate subtrees — the sf0.001 formatted plan carried the
+    // corpus scan + 64-plane signature pass AND the k-means final
+    // assignment pass (its own corpus scan + broadcast argmin) twice,
+    // once per side. The checkpoint is a barrier no rule can clone;
+    // both join sides and the band explode now read one computed
+    // 12-byte-per-vector block set (the Dedup.projected trade — residue
+    // freed by the caller's terminal action + periodic GC).
+    val sigBlocks = srpSignatures(emb, planes, quantScale)
       .join(blocks, "vec_id") // both sides pre-partitioned on vec_id
+      .localCheckpoint(true)
+    val banded = sigBlocks
       .withColumn("b", explode(sequence(lit(0), lit(bands - 1))))
       .withColumn("bv",
         expr(s"shiftright(sig, b * $bandBits) & ${(1L << bandBits) - 1}"))

@@ -269,17 +269,20 @@ object TextQueries {
     // exact-substring-dedup flavor of Lee et al.'s "Deduplicating
     // Training Data", completing the o60/o61 trio) — per doc, how many
     // of its 4-gram POSITIONS carry a gram that appears in ≥ 2 distinct
-    // docs corpus-wide. One shingling pass pinned behind a narrow
-    // Exchange (three consumers: position stream, per-doc distinct gram
-    // stream, per-doc gram counts); the duplicated-gram set comes from a
-    // TWO-LEVEL distinct count (array_distinct map-side, then a plain
-    // count — the (doc, gram) stream shuffles once, never countDistinct)
-    // and prunes the position stream by semi-join. The left join back
-    // restores clean docs with zeros — an audit ledger, not just hits.
+    // docs corpus-wide. One shingling pass MATERIALIZED once (eager
+    // localCheckpoint, round 20 — the Dedup.projected barrier: the
+    // previous repartition pin was cloned per consumer, and the sf0.001
+    // plan carried THREE separate scan→shingle stages for the three
+    // consumers: position stream, per-doc distinct gram stream, per-doc
+    // gram counts); the duplicated-gram set comes from a TWO-LEVEL
+    // distinct count (array_distinct map-side, then a plain count — the
+    // (doc, gram) stream shuffles once, never countDistinct) and prunes
+    // the position stream by semi-join. The left join back restores
+    // clean docs with zeros — an audit ledger, not just hits.
     "o62_dup_ngram_stats" -> ((s, d) => {
       val shingled = Spread(documents(s, d))
         .select(col("doc_id"), TextOps.shingles(toks, 4).as("sh"))
-        .repartition(col("doc_id"))
+        .localCheckpoint(true)
       val pos = shingled.select(col("doc_id"), explode(col("sh")).as("g"))
       val docGrams = shingled.select(col("doc_id"),
         explode(array_distinct(col("sh"))).as("g"))
@@ -390,15 +393,19 @@ object TextQueries {
     // bits, −avg log2 p(tok), under the corpus's own unigram LM — the
     // cheap stand-in for the perplexity filter every LLM-corpus pipeline
     // runs (CCNet-style), with no model artifact needed. Shape: ONE
-    // explode pass pinned behind a narrow (doc_id, tok) exchange feeds
-    // both the LM build (tok-keyed count, map-side combined) and the
-    // per-doc scoring join; the LM is vocabulary-sized (≪ corpus, Heaps'
-    // law) so AQE broadcasts it at any realistic SF, and the one-row
-    // total is a pinned broadcast. Token stream never shuffles twice.
+    // explode pass MATERIALIZED once (eager localCheckpoint, round 20 —
+    // the Dedup.projected barrier; the previous narrow-exchange pin was
+    // cloned per consumer and the sf0.001 plan carried THREE separate
+    // scan→tokenize→explode stages: the LM build, the one-row total,
+    // and the per-doc scoring join each re-tokenized the corpus) and
+    // read by all three consumers; the LM is vocabulary-sized
+    // (≪ corpus, Heaps' law) so AQE broadcasts it at any realistic SF,
+    // and the one-row total is a pinned broadcast. Token stream never
+    // shuffles twice.
     "o65_unigram_surprisal" -> ((s, d) => {
       val tk = Spread(documents(s, d))
         .select(col("doc_id"), explode(toks).as("tok"))
-        .repartition(col("doc_id"))
+        .localCheckpoint(true)
       val cnt = tk.groupBy("tok").agg(count(lit(1)).cast("double").as("c"))
       val tot = cnt.agg(sum(col("c")).as("n"))
       tk.join(cnt, "tok")
