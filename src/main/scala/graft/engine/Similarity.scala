@@ -672,15 +672,29 @@ object Similarity {
         s"${dims % m} dimensions; choose m | dims (or pad the vectors)")
     val q = quantizedShifted(emb, quantScale)
     val dsub = size(col("qv")) / lit(m)
-    // (vec_id, sub, sv, sn2): the m contiguous sub-vectors of each row
+    // (vec_id, sub, sv, sn2): the m contiguous sub-vectors of each row,
+    // MATERIALIZED once (eager localCheckpoint, round 20): the frame has
+    // THREE full-scan consumers — the training sample, the corpus
+    // encode, and the query LUT — and each was planned as its own
+    // scan + interpreted quantize + sub-vector explode pass (the
+    // transform/slice lambdas are CodegenFallback, so the replays were
+    // the expensive kind). One pass computes the blocks; the sample
+    // filter, encode and LUT all read them. Residue: the blocks are the
+    // returned plan's lineage (enc/LUT derive from them), so they live
+    // until the caller's terminal action + periodic GC — corpus-sized
+    // like the encode's own shuffle, and strictly less work than the
+    // two extra quantize passes they replace. At 100 TB the sample
+    // TRAINS the codebooks (bounded), but encode is inherently one full
+    // corpus pass — this checkpoint makes it exactly one.
     val qs = q.select(col("vec_id"), posexplode(
         transform(sequence(lit(0), lit(m - 1)),
           s => slice(col("qv"), s * dsub + 1, dsub))))
       .select(col("vec_id"), col("pos").as("sub"), col("col").as("sv"))
       .withColumn("sn2", VectorOps.normSq(col("sv")))
-    // bounded training sample, materialized once for the rounds
-    val qt = qs.filter(pmod(col("vec_id"), lit(sampleMod)) === 0)
       .localCheckpoint(true)
+    // bounded training sample: a narrow filter over the cached blocks
+    // (no second materialization — the rounds re-read the same blocks)
+    val qt = qs.filter(pmod(col("vec_id"), lit(sampleMod)) === 0)
     // deterministic seeds: the sample's first ksub members per sub-space
     var cb = qt.filter(col("vec_id") < ksub.toLong * sampleMod)
       .select(col("sub"), expr(s"vec_id div $sampleMod").cast("int").as("code"),
@@ -706,11 +720,11 @@ object Similarity {
       // final-round-only eager checkpoint — the lloydCentroids round-20
       // rework verbatim: intermediate codebooks are nested ≤m·ksub-row
       // broadcast subtrees built once inside the final checkpoint's
-      // action; the last round's checkpoint lets qt be released below.
+      // action. (The sample is a filter over the shared qs blocks now —
+      // nothing sample-specific to release; qs itself stays cached for
+      // the encode and LUT passes below.)
       cb = if (i == iterations) next.localCheckpoint(true) else next
     }
-    // training state released; cb (≤ m·ksub rows) is all that survives
-    qt.unpersist()
     // encode the FULL corpus: per (row, sub) argmin over the broadcast
     // codebook — m bytes per vector from here on
     val enc = qs.join(broadcast(cb), Seq("sub"))
