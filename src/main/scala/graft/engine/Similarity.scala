@@ -559,12 +559,21 @@ object Similarity {
     * rerank reuses [[knnCosine]]'s bit-identical cosine form.
     */
   def sq8TopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5, c: Int = 25): DataFrame = {
+    // (vec_id, code, n2) MATERIALIZED once (eager localCheckpoint,
+    // round 20): the query side and the candidate-scan side each
+    // planned their own scan + dimScales pass + interpreted zip_with
+    // quantization (the sf0.001 formatted plan carried the subtree
+    // twice — 12 parquet scans in all); the barrier computes the codes
+    // once and both consumers read the cached ~72 B/vector blocks. The
+    // residue is the plan's lineage, freed by the caller's terminal
+    // action + periodic GC — the same bounded trade as pqTopK's qs.
     val coded = Spread(emb).crossJoin(broadcast(dimScales(emb)))
       .withColumn("code", zip_with(
         VectorOps.asDouble(col("embedding")), col("scales"),
         (x, s) => when(s === 0.0, lit(0.0)).otherwise(round(x / s * lit(127)))))
       .withColumn("n2", VectorOps.dot(col("code"), col("code")))
       .select(col("vec_id"), col("code"), col("n2"))
+      .localCheckpoint(true)
     val q = coded.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("code").as("qcode"), col("n2").as("qn2"))
     val cw = Window.partitionBy(col("query_id"))

@@ -348,9 +348,17 @@ object TextQueries {
     "o63_zipf_fit" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val salts = 16
+      // vocabulary-sized term-frequency frame MATERIALIZED once (eager
+      // localCheckpoint, round 20): its three consumers — the tie-class
+      // census, the per-(freq, salt) sizes and the ranked stream — each
+      // planned their own scan→tokenize→explode→aggregate pass over the
+      // corpus (three Generate subtrees in the sf0.001 formatted plan);
+      // the barrier runs the corpus pass once and the three re-reads are
+      // vocabulary-sized (≪ corpus, Heaps' law).
       val tf = Spread(documents(s, d))
         .select(explode(toks).as("term"))
         .groupBy("term").agg(count(lit(1)).as("freq"))
+        .localCheckpoint(true)
       val classes = tf.groupBy("freq").agg(count(lit(1)).as("nf"))
         .withColumn("offset", coalesce(sum(col("nf")).over(
           Window.orderBy(col("freq").desc)
@@ -474,10 +482,17 @@ object TextQueries {
         .select(col("doc_id"), size(toks).as("dl"),
           filter(toks, t => t.isin(qTerms: _*)).as("qtoks"))
         .filter(size(col("qtoks")) > 0)
+      // query-term postings MATERIALIZED once (eager localCheckpoint,
+      // round 20): both consumers — the df build and the scoring join —
+      // planned their own scan→tokenize→filter→explode pass (two
+      // Generate subtrees in the sf0.001 formatted plan); the barrier
+      // runs the corpus pass once and the postings frame it caches is
+      // query-term-sized, not corpus-sized.
       val tf = perDoc
         .select(col("doc_id"), col("dl"), explode(col("qtoks")).as("term"))
         .groupBy(col("doc_id"), col("dl"), col("term"))
         .agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
       val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val stats = documents(s, d)
         .agg(count(lit(1)).as("n_docs"), avg(size(toks)).as("avgdl"))
