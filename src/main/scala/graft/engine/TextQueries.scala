@@ -311,11 +311,19 @@ object TextQueries {
     // audits need no re-run of the gates.
     "o64_curation_pipeline" -> ((s, d) => {
       val langs = Seq("en", "de", "fr")
+      // per-doc gate frame MATERIALIZED once (eager localCheckpoint,
+      // round 20): the keep-id aggregation and the fate-ledger join each
+      // planned their own scan + tokenize + winnowing-fingerprint pass
+      // (two scan subtrees in the sf0.001 formatted plan, the second
+      // with the full fingerprint chain re-inlined); the barrier
+      // computes the ~60 B/doc gate columns once and both consumers
+      // read the cached blocks.
       val base = Spread(documents(s, d)).select(
         col("doc_id"), col("lang"),
         size(toks).as("n_tokens"),
         TextOps.fingerprint(col("text")).as("fp"),
         pmod(TextOps.hash32(col("doc_id").cast("string")), lit(100L)).as("bucket"))
+        .localCheckpoint(true)
       val keep = base
         .filter(col("lang").isin(langs: _*) && col("n_tokens") >= 20)
         .groupBy("fp").agg(min(col("doc_id")).as("keep_id"))
